@@ -1,0 +1,290 @@
+"""Integer codecs: bit-pack, frame-of-reference (FOR->bitpack cascade),
+run-length (RLE), dictionary, plain.
+
+All functions are pure numpy — no per-row Python. Values are carried through
+an unsigned-wraparound domain so the full int64 range (including INT64_MIN /
+INT64_MAX spans wider than int64) round-trips exactly.
+
+Encoded payload layout (little-endian):
+  u8  codec_id
+  u8  orig dtype code (see _DTYPES)
+  u32 n_values
+  ... codec body ...
+
+Semantics mirrored from the reference's encode-side role (aisle consumes
+stats the writer produced; here we ARE the writer): exactness of min/max is
+guaranteed because we compute them from the block itself
+(/root/reference/src/prune/stats.rs:13-28 analog).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# codec ids (shared across int payloads)
+PLAIN = 0
+BITPACK = 1
+FOR_BITPACK = 2
+RLE = 3
+DICT = 4
+
+_DTYPES = {
+    0: np.dtype("int8"),
+    1: np.dtype("int16"),
+    2: np.dtype("int32"),
+    3: np.dtype("int64"),
+    4: np.dtype("uint8"),
+    5: np.dtype("uint16"),
+    6: np.dtype("uint32"),
+    7: np.dtype("uint64"),
+}
+_DTYPE_CODE = {v: k for k, v in _DTYPES.items()}
+
+_HDR = struct.Struct("<BBI")
+
+
+def _to_u64(arr: np.ndarray) -> np.ndarray:
+    """Reinterpret any integer array as uint64 (two's-complement widening)."""
+    return arr.astype(np.int64, copy=False).view(np.uint64)
+
+
+def _from_u64(u: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    return u.view(np.int64).astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# bit-packing primitive (little-endian bit order)
+# ---------------------------------------------------------------------------
+
+
+def _width(umax: int) -> int:
+    return int(umax).bit_length()
+
+
+def bitpack_encode(u: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values < 2**width into ceil(n*width/8) bytes."""
+    if width == 0 or u.size == 0:
+        return b""
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def bitpack_decode(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if len(buf) * 8 < n * width:
+        raise ValueError(
+            f"bitpack payload truncated: need {n * width} bits, have {len(buf) * 8}"
+        )
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
+    )
+    bits = bits.reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# codec bodies — each takes/returns the uint64 domain
+# ---------------------------------------------------------------------------
+
+
+def _body_plain(u: np.ndarray, dtype: np.dtype) -> bytes:
+    # store at original dtype width — plain means "raw little-endian values"
+    return _from_u64(u, dtype).tobytes()
+
+
+def _unbody_plain(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    return _to_u64(np.frombuffer(buf, dtype=dtype, count=n))
+
+
+def _body_for(u: np.ndarray) -> bytes:
+    s = u.view(np.int64)
+    base = int(s.min()) if s.size else 0
+    deltas = u - np.int64(base).view(np.uint64).astype(np.uint64)
+    width = _width(int(deltas.max())) if s.size else 0
+    return struct.pack("<qB", base, width) + bitpack_encode(deltas, width)
+
+
+def _unbody_for(buf: memoryview, n: int) -> np.ndarray:
+    base, width = struct.unpack_from("<qB", buf, 0)
+    deltas = bitpack_decode(buf[9:], n, width)
+    return deltas + np.int64(base).view(np.uint64).astype(np.uint64)
+
+
+def _body_bitpack(u: np.ndarray) -> bytes:
+    # pure bit-pack: requires non-negative signed values
+    width = _width(int(u.max())) if u.size else 0
+    return struct.pack("<B", width) + bitpack_encode(u, width)
+
+
+def _unbody_bitpack(buf: memoryview, n: int) -> np.ndarray:
+    (width,) = struct.unpack_from("<B", buf, 0)
+    return bitpack_decode(buf[1:], n, width)
+
+
+def _runs(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run values + run lengths via vectorized diff (no per-row Python)."""
+    n = u.size
+    if n == 0:
+        return u[:0], np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(u[1:] != u[:-1])
+    starts = np.concatenate(([0], change + 1))
+    lengths = np.diff(np.concatenate((starts, [n])))
+    return u[starts], lengths
+
+
+def _body_rle(u: np.ndarray) -> bytes:
+    values, lengths = _runs(u)
+    vals_body = _body_for(values)
+    lens_body = _body_for(lengths.view(np.uint64))
+    return (
+        struct.pack("<II", values.size, len(vals_body))
+        + vals_body
+        + lens_body
+    )
+
+
+def _unbody_rle(buf: memoryview, n: int) -> np.ndarray:
+    n_runs, vlen = struct.unpack_from("<II", buf, 0)
+    values = _unbody_for(buf[8 : 8 + vlen], n_runs)
+    lengths = _unbody_for(buf[8 + vlen :], n_runs).view(np.int64)
+    return np.repeat(values, lengths)
+
+
+def _body_dict(u: np.ndarray) -> bytes:
+    uniq, codes = np.unique(u, return_inverse=True)
+    cw = _width(uniq.size - 1) if uniq.size > 1 else 0
+    uniq_body = _body_for(uniq)
+    return (
+        struct.pack("<IIB", uniq.size, len(uniq_body), cw)
+        + uniq_body
+        + bitpack_encode(codes.astype(np.uint64), cw)
+    )
+
+
+def _unbody_dict(buf: memoryview, n: int) -> np.ndarray:
+    k, ulen, cw = struct.unpack_from("<IIB", buf, 0)
+    uniq = _unbody_for(buf[9 : 9 + ulen], k)
+    codes = bitpack_decode(buf[9 + ulen :], n, cw)
+    return uniq[codes]
+
+
+# ---------------------------------------------------------------------------
+# public API + size estimation for codec auto-selection
+# ---------------------------------------------------------------------------
+
+INT_CODECS = {
+    PLAIN: "plain",
+    BITPACK: "bitpack",
+    FOR_BITPACK: "for",
+    RLE: "rle",
+    DICT: "dict",
+}
+INT_CODEC_IDS = {v: k for k, v in INT_CODECS.items()}
+
+
+def int_stats(arr: np.ndarray) -> dict:
+    """Exact per-block statistics driving codec selection AND pruning
+    (cardinality, run count, value range — the sampled-statistics axes
+    named in BASELINE.json north_star; here exact since blocks are small).
+    """
+    u = _to_u64(arr)
+    s = u.view(np.int64)
+    n = int(arr.size)
+    if n == 0:
+        return {"n": 0, "min": None, "max": None, "n_runs": 0, "distinct": 0}
+    values, _ = _runs(u)
+    uniq = np.unique(u)
+    return {
+        "n": n,
+        "min": int(s.min()),
+        "max": int(s.max()),
+        "n_runs": int(values.size),
+        "distinct": int(uniq.size),
+    }
+
+
+def estimate_int_sizes(stats: dict, itemsize: int) -> dict[str, float]:
+    """Predicted encoded bytes per codec from block stats (no trial encode)."""
+    n = stats["n"]
+    if n == 0:
+        return {"plain": 0}
+    lo, hi = stats["min"], stats["max"]
+    delta_w = _width((hi - lo) if hi >= lo else 0)
+    k = stats["distinct"]
+    r = stats["n_runs"]
+    code_w = _width(k - 1) if k > 1 else 0
+    est = {
+        "plain": n * itemsize,
+        "for": 10 + n * delta_w / 8,
+        "rle": 16 + r * (10 + delta_w / 8 + 2),
+        "dict": 9 + k * (delta_w / 8 + 2) + n * code_w / 8,
+    }
+    if lo >= 0:
+        est["bitpack"] = 1 + n * _width(hi) / 8
+    return est
+
+
+def choose_int_codec(stats: dict, itemsize: int) -> str:
+    est = estimate_int_sizes(stats, itemsize)
+    return min(est, key=est.get)
+
+
+def encode_ints(arr: np.ndarray, codec: str | None = None) -> bytes:
+    """Encode an integer array; codec auto-selected from stats when None."""
+    dtype = arr.dtype
+    if dtype not in _DTYPE_CODE:
+        raise TypeError(f"unsupported int dtype {dtype}")
+    u = _to_u64(arr)
+    if codec is None:
+        codec = choose_int_codec(int_stats(arr), dtype.itemsize)
+    cid = INT_CODEC_IDS[codec]
+    if cid == PLAIN:
+        body = _body_plain(u, dtype)
+    elif cid == BITPACK:
+        if arr.size and int(u.view(np.int64).min()) < 0:
+            cid, body = FOR_BITPACK, _body_for(u)
+        else:
+            body = _body_bitpack(u)
+    elif cid == FOR_BITPACK:
+        body = _body_for(u)
+    elif cid == RLE:
+        body = _body_rle(u)
+    elif cid == DICT:
+        body = _body_dict(u)
+    else:  # pragma: no cover
+        raise ValueError(codec)
+    hdr = _HDR.pack(cid, _DTYPE_CODE[dtype], arr.size)
+    out = hdr + body
+    # plain fallback if the "clever" codec lost (guards incompressible data)
+    plain = _HDR.pack(PLAIN, _DTYPE_CODE[dtype], arr.size) + _body_plain(u, dtype)
+    return out if len(out) <= len(plain) else plain
+
+
+def decode_ints(buf: bytes | memoryview) -> np.ndarray:
+    buf = memoryview(buf)
+    cid, dcode, n = _HDR.unpack_from(buf, 0)
+    dtype = _DTYPES[dcode]
+    body = buf[_HDR.size :]
+    if cid == PLAIN:
+        u = _unbody_plain(body, n, dtype)
+    elif cid == BITPACK:
+        u = _unbody_bitpack(body, n)
+    elif cid == FOR_BITPACK:
+        u = _unbody_for(body, n)
+    elif cid == RLE:
+        u = _unbody_rle(body, n)
+    elif cid == DICT:
+        u = _unbody_dict(body, n)
+    else:  # pragma: no cover
+        raise ValueError(cid)
+    return _from_u64(u, dtype)
+
+
+def codec_name(buf: bytes | memoryview) -> str:
+    cid = memoryview(buf)[0]
+    return INT_CODECS[int(cid)]

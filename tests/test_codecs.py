@@ -1,0 +1,149 @@
+"""F4 codec round-trip corpus: decode(encode(x)) == x bit-identically.
+
+Mirrors the reference's per-type test-suite breadth (SURVEY.md §5,
+e.g. /root/reference/tests/int_family_support.rs) but for OUR encode side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aisle_spark.codecs.ints import (
+    INT_CODECS,
+    decode_ints,
+    encode_ints,
+    int_stats,
+    choose_int_codec,
+    codec_name,
+)
+from aisle_spark.codecs.strings import (
+    decode_strings,
+    encode_strings,
+    fsst_decode,
+    fsst_encode,
+    str_codec_name,
+)
+from aisle_spark.codecs.floats import decode_floats, encode_floats
+
+RNG = np.random.default_rng(42)
+
+INT_CASES = {
+    "empty": np.array([], dtype=np.int32),
+    "single": np.array([7], dtype=np.int32),
+    "all_equal": np.full(1000, 42, dtype=np.int32),
+    "increasing": np.arange(5000, dtype=np.int32),
+    "alternating": np.tile(np.array([3, -9], dtype=np.int32), 500),
+    "full_range_i32": np.array(
+        [np.iinfo(np.int32).min, -1, 0, 1, np.iinfo(np.int32).max], dtype=np.int32
+    ),
+    "full_range_i64": np.array(
+        [np.iinfo(np.int64).min, -1, 0, 1, np.iinfo(np.int64).max], dtype=np.int64
+    ),
+    "negatives": RNG.integers(-1000, -1, 2000).astype(np.int32),
+    "uniform_random": RNG.integers(0, 2**31 - 1, 4000).astype(np.int32),
+    "runs": np.repeat(RNG.integers(0, 50, 40), RNG.integers(1, 100, 40)).astype(np.int32),
+    "low_card": RNG.choice(np.array([5, 17, 99, 100000], dtype=np.int64), 3000),
+    "small_range_big_base": (10_000_000 + RNG.integers(0, 16, 5000)).astype(np.int64),
+    "zipf_lengths": np.clip(RNG.zipf(1.3, 2000), 1, 8192).astype(np.int32),
+}
+
+
+@pytest.mark.parametrize("name", list(INT_CASES))
+@pytest.mark.parametrize("codec", [None, *INT_CODECS.values()])
+def test_int_roundtrip(name, codec):
+    arr = INT_CASES[name]
+    buf = encode_ints(arr, codec)
+    out = decode_ints(buf)
+    assert out.dtype == arr.dtype
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_int_autoselect_is_sane():
+    # all-equal -> rle or dict beats plain massively
+    arr = INT_CASES["all_equal"]
+    buf = encode_ints(arr)
+    assert len(buf) < arr.nbytes / 20
+    # small range big base -> FOR wins over plain
+    arr = INT_CASES["small_range_big_base"]
+    buf = encode_ints(arr)
+    assert codec_name(buf) in ("for", "bitpack", "dict")
+    assert len(buf) < arr.nbytes / 8
+    # incompressible -> falls back to ~plain size (never blows up)
+    arr = INT_CASES["uniform_random"]
+    buf = encode_ints(arr)
+    assert len(buf) <= arr.nbytes + 16
+
+
+def test_choose_codec_uses_stats():
+    arr = INT_CASES["runs"]
+    st = int_stats(arr)
+    assert st["n_runs"] < st["n"] // 5
+    assert choose_int_codec(st, 4) in ("rle", "dict", "for", "bitpack")
+
+
+def _str_parts(strings: list[str]):
+    data = "".join(strings).encode("utf-8")
+    lengths = np.array([len(s.encode("utf-8")) for s in strings], dtype=np.int64)
+    return lengths, np.frombuffer(data, dtype=np.uint8)
+
+
+STR_CASES = {
+    "empty_corpus": [],
+    "empty_strings": ["", "", ""],
+    "mixed_empty": ["a", "", "bb", "", ""],
+    "low_card": ["web", "books", "web", "code", "web"] * 200,
+    "shared_prefix": [f"web-{i:08d}" for i in range(500)],
+    "non_ascii": ["héllo", "wörld", "日本語テキスト", "🚀🚀", "ascii"] * 20,
+    "escape_byte": ["\xff\xff", "a\xffb", "\xff"] * 10,  # 0xff in utf-8 of U+00FF
+    "long_values": ["x" * 4096, "y" * 1, "z" * 2048],
+    "random_hex": [RNG.bytes(8).hex() for _ in range(300)],
+}
+
+
+@pytest.mark.parametrize("name", list(STR_CASES))
+@pytest.mark.parametrize("codec", [None, "plain", "dict", "fsst"])
+def test_string_roundtrip(name, codec):
+    lengths, data = _str_parts(STR_CASES[name])
+    buf = encode_strings(lengths, data, codec)
+    out_lens, out_data = decode_strings(buf)
+    np.testing.assert_array_equal(out_lens, lengths)
+    np.testing.assert_array_equal(out_data, data)
+
+
+def test_fsst_compresses_shared_prefixes():
+    lengths, data = _str_parts(STR_CASES["shared_prefix"])
+    buf = fsst_encode(lengths, data)
+    # raw bytes = 6000; shared "web-000" prefixes should compress well
+    assert len(buf) < data.size * 0.7
+    out_lens, out_data = fsst_decode(memoryview(buf), lengths.size)
+    np.testing.assert_array_equal(out_lens, lengths)
+    np.testing.assert_array_equal(out_data, data)
+
+
+def test_dict_selected_for_low_card():
+    lengths, data = _str_parts(STR_CASES["low_card"])
+    buf = encode_strings(lengths, data)
+    assert str_codec_name(buf) == "dict"
+    assert len(buf) < data.size / 4
+
+
+FLOAT_CASES = {
+    "basic": np.array([1.5, -2.25, 0.0, -0.0, np.inf, -np.inf, np.nan], dtype=np.float64),
+    "f32": np.array([3.14, 2.71, np.nan], dtype=np.float32),
+    "low_card": np.tile(np.array([0.05, 0.1, 0.07], dtype=np.float64), 1000),
+    "random": RNG.random(2000),
+}
+
+
+@pytest.mark.parametrize("name", list(FLOAT_CASES))
+def test_float_roundtrip(name):
+    arr = FLOAT_CASES[name]
+    out = decode_floats(encode_floats(arr))
+    assert out.dtype == arr.dtype
+    np.testing.assert_array_equal(out.view(np.uint8), arr.view(np.uint8))  # bitwise
+
+
+def test_float_dict_compresses():
+    buf = encode_floats(FLOAT_CASES["low_card"])
+    assert len(buf) < FLOAT_CASES["low_card"].nbytes / 4
