@@ -1,0 +1,281 @@
+"""Block encode/decode: one block = N rows, each column independently
+compressed with its own auto-selected codec + exact statistics.
+
+A block is the engine's row-group analog (SURVEY.md §1.1): the stats
+written here are what the pruner consumes, and they are always EXACT
+because they are computed from the block's own values at encode time —
+the property aisle has to *defend* with ordering checks
+(/root/reference/src/prune/stats.rs:30-69) we get by construction.
+
+Column container payload layout (little-endian):
+  u8 flags (bit0: has_nulls) | u32 n_rows
+  [validity bitmap ceil(n/8) bytes, little-endian bit order]
+  codec payload over NON-NULL values only
+For intlist: codec payload = u32 len(lengths_payload) | lengths_payload
+  | values_payload (lengths of non-null rows; flattened values).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from aisle_spark.codecs.floats import decode_floats, encode_floats
+from aisle_spark.codecs.ints import (
+    choose_int_codec,
+    codec_name,
+    decode_ints,
+    encode_ints,
+    int_stats,
+)
+from aisle_spark.codecs.strings import (
+    decode_strings,
+    encode_strings,
+    parts_from_arrow,
+    str_codec_name,
+)
+from aisle_spark.schema import DICT_HINT_MAX, ColumnSpec
+
+_CHDR = struct.Struct("<BI")
+
+
+def _validity(arr: pa.Array) -> tuple[np.ndarray | None, int]:
+    nulls = arr.null_count
+    if nulls == 0:
+        return None, 0
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    return valid, int(nulls)
+
+
+def _wrap(body: bytes, n: int, valid: np.ndarray | None) -> bytes:
+    if valid is None:
+        return _CHDR.pack(0, n) + body
+    bitmap = np.packbits(valid, bitorder="little").tobytes()
+    return _CHDR.pack(1, n) + bitmap + body
+
+
+def _unwrap(buf: memoryview) -> tuple[int, np.ndarray | None, memoryview]:
+    flags, n = _CHDR.unpack_from(buf, 0)
+    off = _CHDR.size
+    valid = None
+    if flags & 1:
+        nbytes = (n + 7) // 8
+        valid = np.unpackbits(
+            np.frombuffer(buf[off : off + nbytes], dtype=np.uint8),
+            count=n,
+            bitorder="little",
+        ).astype(bool)
+        off += nbytes
+    return n, valid, buf[off:]
+
+
+def _prim_to_numpy(spec: ColumnSpec, arr: pa.Array) -> np.ndarray:
+    """Non-null primitive values as the exact-width numpy integer/float."""
+    t = spec.arrow_type
+    if spec.kind == "timestamp":
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date(t):
+        arr = arr.cast(pa.int32())
+    elif pa.types.is_boolean(t):
+        arr = arr.cast(pa.uint8())
+    return arr.drop_null().to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# encode one column chunk -> dict of block-row fields
+# ---------------------------------------------------------------------------
+
+
+def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
+    c = spec.name
+    n = len(arr)
+    valid, nulls = _validity(arr)
+    out: dict = {f"{c}__nulls": nulls}
+
+    if spec.kind in ("int", "timestamp"):
+        vals = _prim_to_numpy(spec, arr)
+        st = int_stats(vals)
+        codec = choose_int_codec(st, vals.dtype.itemsize) if st["n"] else "plain"
+        body = encode_ints(vals, codec)
+        out[f"{c}__codec"] = codec_name(body)
+        out[f"{c}__min"] = _stat_scalar(spec, st["min"])
+        out[f"{c}__max"] = _stat_scalar(spec, st["max"])
+        out[f"{c}__distinct"] = st["distinct"]
+        raw = vals.nbytes
+    elif spec.kind == "float":
+        vals = arr.drop_null().to_numpy(zero_copy_only=False)
+        body = encode_floats(vals)
+        out[f"{c}__codec"] = "float:" + codec_name(memoryview(body)[1:])
+        if vals.size:
+            finite = vals[~np.isnan(vals)]
+            out[f"{c}__min"] = float(finite.min()) if finite.size else None
+            out[f"{c}__max"] = float(finite.max()) if finite.size else None
+        else:
+            out[f"{c}__min"] = out[f"{c}__max"] = None
+        raw = vals.nbytes
+    elif spec.kind == "string":
+        nn = arr.drop_null()
+        lengths, data = parts_from_arrow(nn)
+        body = encode_strings(lengths, data)
+        out[f"{c}__codec"] = str_codec_name(body)
+        if len(nn):
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(nn)
+            out[f"{c}__min"] = mm["min"].as_py()
+            out[f"{c}__max"] = mm["max"].as_py()
+            uniq = pc.unique(nn)
+            out[f"{c}__dict"] = (
+                sorted(uniq.to_pylist()) if len(uniq) <= DICT_HINT_MAX else None
+            )
+        else:
+            out[f"{c}__min"] = out[f"{c}__max"] = None
+            out[f"{c}__dict"] = []
+        raw = int(lengths.sum()) + 8 * n
+    elif spec.kind == "intlist":
+        nn = arr.drop_null()
+        flat = nn.flatten()
+        list_lens = np.asarray(
+            nn.value_lengths().to_numpy(zero_copy_only=False), dtype=np.int64
+        ) if len(nn) else np.zeros(0, dtype=np.int64)
+        vals = flat.to_numpy(zero_copy_only=False)
+        vstats = int_stats(vals)
+        vcodec = choose_int_codec(vstats, vals.dtype.itemsize) if vstats["n"] else "plain"
+        lens_body = encode_ints(list_lens)
+        vals_body = encode_ints(vals, vcodec)
+        body = struct.pack("<I", len(lens_body)) + lens_body + vals_body
+        out[f"{c}__codec"] = f"len:{codec_name(lens_body)}|val:{codec_name(vals_body)}"
+        out[f"{c}__elem_min"] = vstats["min"]
+        out[f"{c}__elem_max"] = vstats["max"]
+        out[f"{c}__len_min"] = int(list_lens.min()) if list_lens.size else None
+        out[f"{c}__len_max"] = int(list_lens.max()) if list_lens.size else None
+        raw = vals.nbytes + 8 * n
+    else:  # pragma: no cover
+        raise TypeError(spec.kind)
+
+    payload = _wrap(body, n, valid)
+    out[f"{c}__payload"] = payload
+    out[f"{c}__raw_bytes"] = int(raw)
+    out[f"{c}__enc_bytes"] = len(payload)
+    return out
+
+
+def _stat_scalar(spec: ColumnSpec, v):
+    if v is None:
+        return None
+    if spec.kind == "timestamp":
+        return np.datetime64(int(v), "us").item()
+    if pa.types.is_date(spec.arrow_type):
+        return np.datetime64(int(v), "D").item()
+    if pa.types.is_boolean(spec.arrow_type):
+        return bool(v)
+    return int(v)
+
+
+# ---------------------------------------------------------------------------
+# decode one column payload -> pyarrow array (bit-identical)
+# ---------------------------------------------------------------------------
+
+
+def decode_column(spec: ColumnSpec, payload: bytes | memoryview) -> pa.Array:
+    n, valid, body = _unwrap(memoryview(payload))
+    t = spec.arrow_type
+
+    if spec.kind in ("int", "timestamp", "float"):
+        if spec.kind == "float":
+            vals = decode_floats(body)
+        else:
+            vals = decode_ints(body)
+        return _primitive_array(t, n, valid, vals)
+    if spec.kind == "string":
+        lengths, data = decode_strings(body)
+        return _string_array(t, n, valid, lengths, data)
+    if spec.kind == "intlist":
+        (ll,) = struct.unpack_from("<I", body, 0)
+        list_lens = decode_ints(body[4 : 4 + ll]).astype(np.int64)
+        vals = decode_ints(body[4 + ll :])
+        return _list_array(t, n, valid, list_lens, vals)
+    raise TypeError(spec.kind)  # pragma: no cover
+
+
+def _validity_buf(n: int, valid: np.ndarray | None):
+    if valid is None:
+        return None
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+
+
+def _expand(n: int, valid: np.ndarray | None, vals: np.ndarray, fill=0) -> np.ndarray:
+    if valid is None:
+        return vals
+    out = np.full(n, fill, dtype=vals.dtype)
+    out[valid] = vals
+    return out
+
+
+def _primitive_array(t: pa.DataType, n: int, valid, vals: np.ndarray) -> pa.Array:
+    storage = _expand(n, valid, vals)
+    if pa.types.is_boolean(t):
+        data_buf = pa.py_buffer(
+            np.packbits(storage.astype(bool), bitorder="little").tobytes()
+        )
+    else:
+        data_buf = pa.py_buffer(storage.tobytes())
+    return pa.Array.from_buffers(t, n, [_validity_buf(n, valid), data_buf])
+
+
+def _string_array(t: pa.DataType, n: int, valid, lengths, data) -> pa.Array:
+    full_lens = _expand(n, valid, lengths.astype(np.int64))
+    big = pa.types.is_large_string(t)
+    odt = np.int64 if big else np.int32
+    offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(odt)
+    return pa.Array.from_buffers(
+        t,
+        n,
+        [_validity_buf(n, valid), pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def _list_array(t: pa.DataType, n: int, valid, list_lens, vals) -> pa.Array:
+    full_lens = _expand(n, valid, list_lens)
+    big = pa.types.is_large_list(t)
+    odt = np.int64 if big else np.int32
+    offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(odt)
+    child = _primitive_array(t.value_type, int(vals.size), None, vals)
+    return pa.Array.from_buffers(
+        t, n, [_validity_buf(n, valid), pa.py_buffer(offsets.tobytes())], children=[child]
+    )
+
+
+# ---------------------------------------------------------------------------
+# whole-block encode / decode
+# ---------------------------------------------------------------------------
+
+
+def encode_block(
+    specs: list[ColumnSpec], batch: pa.Table | pa.RecordBatch,
+    part_id: int, block_id: int
+) -> dict:
+    """Encode one block (all columns) -> one block-table row as a dict."""
+    row = {"part_id": part_id, "block_id": block_id, "n_rows": len(batch)}
+    for spec in specs:
+        col = batch.column(spec.name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        row.update(encode_column(spec, col))
+    return row
+
+
+def decode_block(
+    specs: list[ColumnSpec], row: dict, columns: list[str] | None = None
+) -> pa.RecordBatch:
+    """Decode requested columns of one block row (projection pushdown:
+    untouched payload columns are never even read — the reference's
+    ProjectionMask analog, /root/reference/src/prune/result.rs:59-86)."""
+    names = columns or [s.name for s in specs]
+    by_name = {s.name: s for s in specs}
+    arrays = [decode_column(by_name[c], row[f"{c}__payload"]) for c in names]
+    return pa.RecordBatch.from_arrays(
+        arrays, schema=pa.schema([pa.field(c, by_name[c].arrow_type) for c in names])
+    )

@@ -1,0 +1,462 @@
+"""Predicate AST + tri-state block pruning as Catalyst expressions.
+
+This is the engine's analog of aisle's pruning IR (`Expr`,
+/root/reference/src/expr.rs:94-165) and its row-group evaluators
+(/root/reference/src/prune/cmp.rs, in_list.rs, between.rs, is_null.rs,
+starts_with.rs, dictionary.rs). Every node evaluates against a block's
+stats columns to a Kleene tri-state, represented as a PAIR of null-free
+boolean Columns ``(definitely_true, definitely_false)``:
+
+    False  => prune the block
+    True/Unknown => keep          (never skip data that might match —
+                                   /root/reference/docs/architecture.md:8)
+
+Missing stats (all-null block, or a block written without stats) make the
+underlying comparisons NULL; every leaf wraps both sides in
+``coalesce(..., false)`` so NULL collapses to Unknown=keep, never to a
+wrong prune (the subtle Spark trap named in SURVEY.md §7.3: a bare NULL
+skip-condition inside ``filter`` would silently drop blocks).
+
+Connectives are Kleene (/root/reference/src/expr.rs:15-37):
+  and: t = all(t_i), f = any(f_i);  or: t = any(t_i), f = all(f_i)
+  not: swap(t, f) — Unknown is a fixed point.
+
+The same AST lowers three ways:
+  * ``keep_blocks()``   -> manifest filter Column (block pruning)
+  * ``residual()``      -> exact row filter Column on the decoded frame
+                           (aisle's RowFilter, /root/reference/src/row_filter.rs:50-312)
+  * ``to_sql()``        -> ANSI SQL for the DuckDB oracle
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# string successor for prefix ranges (next_prefix_string,
+# /root/reference/src/prune/strings.rs:13-27)
+# ---------------------------------------------------------------------------
+
+_MAX_CP = 0x10FFFF
+
+
+def next_prefix(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p``.
+    Increment the last incrementable codepoint, truncating; None when the
+    prefix is all U+10FFFF (no upper bound exists). Skips the surrogate
+    gap so results stay valid Unicode."""
+    chars = list(p)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < _MAX_CP:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return "".join(chars[:i]) + chr(nxt)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# tri-state algebra
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Tri:
+    t: Column  # definitely true (null-free)
+    f: Column  # definitely false (null-free)
+
+
+def _c(x: Column) -> Column:
+    return F.coalesce(x, F.lit(False))
+
+
+_UNKNOWN = None  # marker: build lazily since Columns need no session? they do not
+
+
+def tri_unknown() -> Tri:
+    return Tri(F.lit(False), F.lit(False))
+
+
+def tri_and(parts: list[Tri]) -> Tri:
+    t = parts[0].t
+    f = parts[0].f
+    for p in parts[1:]:
+        t = t & p.t
+        f = f | p.f
+    return Tri(t, f)
+
+
+def tri_or(parts: list[Tri]) -> Tri:
+    t = parts[0].t
+    f = parts[0].f
+    for p in parts[1:]:
+        t = t | p.t
+        f = f & p.f
+    return Tri(t, f)
+
+
+# ---------------------------------------------------------------------------
+# literals
+# ---------------------------------------------------------------------------
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return repr(v)
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+class Spec:
+    """Base predicate node."""
+
+    def __and__(self, other: "Spec") -> "Spec":
+        return And([self, other])
+
+    def __or__(self, other: "Spec") -> "Spec":
+        return Or([self, other])
+
+    def __invert__(self) -> "Spec":
+        return Not(self)
+
+    # -- interface --
+    def tri(self) -> Tri:  # block-level tri-state
+        raise NotImplementedError
+
+    def residual(self) -> Column:  # exact row-level Column
+        raise NotImplementedError
+
+    def to_sql(self) -> str:
+        raise NotImplementedError
+
+    def columns(self) -> set[str]:
+        raise NotImplementedError
+
+    def keep_blocks(self) -> Column:
+        """Manifest filter: keep unless definitely false
+        (/root/reference/src/prune/api.rs:58-60 analog)."""
+        return ~self.tri().f
+
+
+def _stats(col: str):
+    return (
+        F.col(f"{col}__min"),
+        F.col(f"{col}__max"),
+        F.coalesce(F.col(f"{col}__nulls"), F.lit(0)),
+        F.col("n_rows").cast("long"),
+    )
+
+
+def _dict_col(col: str) -> Column:
+    return F.col(f"{col}__dict")
+
+
+@dataclass(frozen=True)
+class Cmp(Spec):
+    col: str
+    op: str  # eq ne lt le gt ge
+    value: object
+
+    _SQL_OP = {"eq": "=", "ne": "<>", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
+
+    def tri(self) -> Tri:
+        smin, smax, nulls, nrows = _stats(self.col)
+        v = F.lit(self.value)
+        no_nulls = nulls == 0
+        op = self.op
+        if op == "eq":
+            f = (smin > v) | (smax < v)
+            t = (smin == v) & (smax == v) & no_nulls
+        elif op == "ne":
+            f = (smin == v) & (smax == v) & no_nulls
+            t = ((smin > v) | (smax < v)) & no_nulls
+        elif op == "lt":
+            f = smin >= v
+            t = (smax < v) & no_nulls
+        elif op == "le":
+            f = smin > v
+            t = (smax <= v) & no_nulls
+        elif op == "gt":
+            f = smax <= v
+            t = (smin > v) & no_nulls
+        elif op == "ge":
+            f = smax < v
+            t = (smin >= v) & no_nulls
+        else:  # pragma: no cover
+            raise ValueError(op)
+        if op == "eq" and isinstance(self.value, str):
+            # dictionary definite-absence (/root/reference/src/prune/
+            # dictionary.rs:8-70): value outside the exact per-block
+            # distinct set => every non-null row is F, null rows N —
+            # sound for the f-side invariant (f => no row evaluates TRUE)
+            # under any Not nesting, since Not swaps into the t-side
+            # invariant (t => no row evaluates FALSE)… which "all rows
+            # F-or-N" also satisfies after the swap maps F to T.
+            d = _dict_col(self.col)
+            f = f | (d.isNotNull() & ~F.array_contains(d, self.value))
+        return Tri(_c(t), _c(f))
+
+    def residual(self) -> Column:
+        c = F.col(self.col)
+        v = F.lit(self.value)
+        return {
+            "eq": c == v,
+            "ne": c != v,
+            "lt": c < v,
+            "le": c <= v,
+            "gt": c > v,
+            "ge": c >= v,
+        }[self.op]
+
+    def to_sql(self) -> str:
+        return f"{self.col} {self._SQL_OP[self.op]} {_sql_lit(self.value)}"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
+class Between(Spec):
+    col: str
+    low: object
+    high: object
+
+    def _parts(self) -> Spec:
+        return And([Cmp(self.col, "ge", self.low), Cmp(self.col, "le", self.high)])
+
+    def tri(self) -> Tri:
+        return self._parts().tri()
+
+    def residual(self) -> Column:
+        return F.col(self.col).between(F.lit(self.low), F.lit(self.high))
+
+    def to_sql(self) -> str:
+        return f"{self.col} BETWEEN {_sql_lit(self.low)} AND {_sql_lit(self.high)}"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
+class InList(Spec):
+    col: str
+    values: tuple
+
+    def tri(self) -> Tri:
+        # OR of Eq (short-circuit semantics come from the Kleene fold,
+        # /root/reference/src/prune/in_list.rs:6-45)
+        base = tri_or([Cmp(self.col, "eq", v).tri() for v in self.values])
+        if all(isinstance(v, str) for v in self.values) and self.values:
+            d = _dict_col(self.col)
+            absent_all = d.isNotNull() & ~F.arrays_overlap(
+                d, F.array(*[F.lit(v) for v in self.values])
+            )
+            base = Tri(base.t, base.f | _c(absent_all))
+        return base
+
+    def residual(self) -> Column:
+        return F.col(self.col).isin(list(self.values))
+
+    def to_sql(self) -> str:
+        return f"{self.col} IN ({', '.join(_sql_lit(v) for v in self.values)})"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
+class IsNull(Spec):
+    col: str
+    negated: bool = False
+
+    def tri(self) -> Tri:
+        _, _, nulls_raw, nrows = _stats(self.col)
+        nulls = F.col(f"{self.col}__nulls")  # keep NULL-able: missing stats => Unknown
+        t = nulls == nrows
+        f = nulls == 0
+        if self.negated:
+            t, f = f, t
+        return Tri(_c(t), _c(f))
+
+    def residual(self) -> Column:
+        c = F.col(self.col)
+        return c.isNotNull() if self.negated else c.isNull()
+
+    def to_sql(self) -> str:
+        return f"{self.col} IS {'NOT ' if self.negated else ''}NULL"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
+class StartsWith(Spec):
+    col: str
+    prefix: str
+
+    def tri(self) -> Tri:
+        # prefix -> range rewrite [p, next_prefix(p))
+        # (/root/reference/src/prune/starts_with.rs:4-69)
+        smin, smax, nulls, _ = _stats(self.col)
+        if self.prefix == "":
+            # every non-null string starts with ""
+            return Tri(_c(nulls == 0), F.lit(False))
+        p = F.lit(self.prefix)
+        np_ = next_prefix(self.prefix)
+        f = smax < p
+        t = (smin >= p) & (nulls == 0)
+        if np_ is None:
+            # all-U+10FFFF prefix: s >= p  <=>  s startswith p, so the
+            # lower bound alone is exact (overflow case,
+            # /root/reference/src/prune/strings.rs:13-27)
+            pass
+        else:
+            f = f | (smin >= F.lit(np_))
+            t = t & (smax < F.lit(np_))
+        return Tri(_c(t), _c(f))
+
+    def residual(self) -> Column:
+        return F.col(self.col).startswith(self.prefix)
+
+    def to_sql(self) -> str:
+        esc = self.prefix.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
+        return f"{self.col} LIKE '{esc}%' ESCAPE '\\'"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
+class And(Spec):
+    parts: list
+
+    def tri(self) -> Tri:
+        return tri_and([p.tri() for p in self.parts])
+
+    def residual(self) -> Column:
+        out = self.parts[0].residual()
+        for p in self.parts[1:]:
+            out = out & p.residual()
+        return out
+
+    def to_sql(self) -> str:
+        return "(" + " AND ".join(p.to_sql() for p in self.parts) + ")"
+
+    def columns(self) -> set[str]:
+        return set().union(*(p.columns() for p in self.parts))
+
+
+@dataclass(frozen=True)
+class Or(Spec):
+    parts: list
+
+    def tri(self) -> Tri:
+        return tri_or([p.tri() for p in self.parts])
+
+    def residual(self) -> Column:
+        out = self.parts[0].residual()
+        for p in self.parts[1:]:
+            out = out | p.residual()
+        return out
+
+    def to_sql(self) -> str:
+        return "(" + " OR ".join(p.to_sql() for p in self.parts) + ")"
+
+    def columns(self) -> set[str]:
+        return set().union(*(p.columns() for p in self.parts))
+
+
+@dataclass(frozen=True)
+class Not(Spec):
+    inner: Spec
+
+    def tri(self) -> Tri:
+        i = self.inner.tri()
+        return Tri(i.f, i.t)
+
+    def residual(self) -> Column:
+        return ~self.inner.residual()
+
+    def to_sql(self) -> str:
+        return f"(NOT {self.inner.to_sql()})"
+
+    def columns(self) -> set[str]:
+        return self.inner.columns()
+
+
+@dataclass(frozen=True)
+class AlwaysTrue(Spec):
+    def tri(self) -> Tri:
+        return Tri(F.lit(True), F.lit(False))
+
+    def residual(self) -> Column:
+        return F.lit(True)
+
+    def to_sql(self) -> str:
+        return "TRUE"
+
+    def columns(self) -> set[str]:
+        return set()
+
+
+# ---------------------------------------------------------------------------
+# fluent builder: col("n_tok") > 5, col("source").isin(...), ...
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class col:
+    name: str
+
+    def __eq__(self, v):  # type: ignore[override]
+        return Cmp(self.name, "eq", v)
+
+    def __ne__(self, v):  # type: ignore[override]
+        return Cmp(self.name, "ne", v)
+
+    def __lt__(self, v):
+        return Cmp(self.name, "lt", v)
+
+    def __le__(self, v):
+        return Cmp(self.name, "le", v)
+
+    def __gt__(self, v):
+        return Cmp(self.name, "gt", v)
+
+    def __ge__(self, v):
+        return Cmp(self.name, "ge", v)
+
+    def between(self, lo, hi):
+        return Between(self.name, lo, hi)
+
+    def isin(self, *vals):
+        if len(vals) == 1 and isinstance(vals[0], (list, tuple)):
+            vals = tuple(vals[0])
+        return InList(self.name, tuple(vals))
+
+    def is_null(self):
+        return IsNull(self.name)
+
+    def is_not_null(self):
+        return IsNull(self.name, negated=True)
+
+    def startswith(self, p: str):
+        return StartsWith(self.name, p)

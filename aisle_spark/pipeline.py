@@ -1,0 +1,205 @@
+"""The distributed encode / scan pipeline — all declarative DataFrame ops
+plus two vectorized Arrow UDFs (one to encode, one to decode).
+
+Shape (SURVEY.md §7.0):
+
+  encode:  input df
+             -> part_id = xxhash64(salt_cols) % P      (salted: defuses
+                long-document skew, BASELINE.json north_rule)
+             -> groupBy(part_id).applyInArrow(encode)   (the ONLY shuffle)
+             -> blocks table (manifest stats columns + payload columns fused)
+
+  scan:    blocks df
+             -> .filter(spec.keep_blocks())             (tri-state pruning —
+                a plain Catalyst filter; when blocks live in parquet the
+                same comparisons ALSO push down to parquet row-group stats,
+                so the manifest is itself min-max indexed)
+             -> .select(required payload columns)       (projection pushdown)
+             -> mapInArrow(decode)                      (vectorized)
+             -> .filter(spec.residual())                (exact row filter —
+                aisle's RowFilter, /root/reference/src/row_filter.rs)
+
+At 1000-executor / 100 TB scale: the manifest filter is embarrassingly
+parallel over block rows, decode is shuffle-free (narrow), and the only
+wide dependency in the whole engine is the encode groupBy — whose key is
+a uniform hash, so AQE's coalescing and skew handling apply cleanly.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aisle_spark.blocks import decode_block, encode_block
+from aisle_spark.filterspec import Spec
+from aisle_spark.schema import (
+    ColumnSpec,
+    blocks_arrow_schema,
+    blocks_spark_schema,
+    specs_for_schema,
+)
+
+DEFAULT_BLOCK_ROWS = 4096
+# cap flattened list values per block so UDF batches stay bounded
+# (SURVEY.md §7.3 risk 5): 4096 rows x zipf lengths can explode otherwise
+DEFAULT_MAX_VALUES = 1 << 21
+
+
+def arrow_schema_of(df: DataFrame) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+def _block_slices(
+    tbl: pa.Table, specs: list[ColumnSpec], block_rows: int, max_values: int
+) -> Iterator[pa.Table]:
+    """Split a partition's rows into blocks bounded by rows AND flattened
+    list values (vectorized boundary computation, no per-row Python)."""
+    import numpy as np
+
+    n = tbl.num_rows
+    list_cols = [s.name for s in specs if s.kind == "intlist"]
+    if not list_cols:
+        for lo in range(0, n, block_rows):
+            yield tbl.slice(lo, min(block_rows, n - lo))
+        return
+    # combined per-row value weight across list columns
+    weight = np.zeros(n, dtype=np.int64)
+    for c in list_cols:
+        col = tbl.column(c)
+        lens = col.combine_chunks().value_lengths().to_numpy(zero_copy_only=False)
+        weight += np.nan_to_num(lens, nan=0).astype(np.int64)
+    cum = np.cumsum(weight)
+    lo = 0
+    while lo < n:
+        hi_rows = min(lo + block_rows, n)
+        base = cum[lo - 1] if lo else 0
+        # first index where cumulative values exceed the cap
+        hi_vals = int(np.searchsorted(cum, base + max_values, side="right"))
+        hi = max(lo + 1, min(hi_rows, hi_vals))
+        yield tbl.slice(lo, hi - lo)
+        lo = hi
+
+
+def encode_table(
+    df: DataFrame,
+    parts: int = 64,
+    salt_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    max_values: int = DEFAULT_MAX_VALUES,
+) -> DataFrame:
+    """Encode ``df`` into the blocks table (manifest + payload fused).
+
+    Two knobs reconcile skew-balance with pruning power:
+    * ``salt_cols`` — hashed into ``part_id`` so partitions are byte-
+      balanced even under zipf document lengths / monster sources
+      (north_rule "salted repartitioning on source+doc_id hash").
+    * ``sort_cols`` — each partition is sorted (vectorized, in-UDF) on
+      these before being sliced into blocks, so per-block min/max ranges
+      are TIGHT and the tri-state pruner can actually skip. Salting
+      balances BETWEEN partitions; sorting clusters WITHIN them — the
+      same layout trick as parquet's sortWithinPartitions + row groups.
+    """
+    aschema = arrow_schema_of(df)
+    specs = specs_for_schema(aschema)
+    out_schema = blocks_arrow_schema(specs)
+    out_spark = blocks_spark_schema(specs)
+
+    salt_cols = salt_cols or [
+        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+    ]
+    sort_keys = [(c, "ascending") for c in (sort_cols or [])]
+    salted = df.withColumn(
+        "part_id", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(parts)).cast("int")
+    )
+
+    def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        part_id = int(key[0].as_py())
+        tbl = tbl.drop_columns(["part_id"])
+        if sort_keys:
+            tbl = tbl.sort_by(sort_keys)
+        rows = []
+        for seq, block in enumerate(
+            _block_slices(tbl, specs, block_rows, max_values)
+        ):
+            block_id = (part_id << 24) | seq
+            rows.append(encode_block(specs, block, part_id, block_id))
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return salted.groupBy("part_id").applyInArrow(encode_group, schema=out_spark)
+
+
+def _decode_fn(specs: list[ColumnSpec], need: list[str]):
+    out_schema = pa.schema([pa.field(s.name, s.arrow_type) for s in specs if s.name in need])
+    by_name = {s.name: s for s in specs}
+    ordered = [s.name for s in specs if s.name in need]
+
+    def decode(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for row in b.to_pylist():  # one iteration per BLOCK, not per row
+                yield decode_block([by_name[c] for c in ordered], row, ordered)
+
+    return decode, out_schema
+
+
+def scan(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    where: Spec | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Pruned, projected, exact scan over an encoded blocks table."""
+    specs = specs_for_schema(schema)
+    all_names = [s.name for s in specs]
+    out_cols = columns or all_names
+    # required = projection ∪ predicate columns
+    # (/root/reference/src/prune/result.rs:59-86)
+    need = list(dict.fromkeys(out_cols + sorted(where.columns()))) if where else out_cols
+    need = [c for c in all_names if c in need]
+
+    if where is not None:
+        blocks = blocks.filter(where.keep_blocks())
+    payload_cols = [f"{c}__payload" for c in need]
+    decode, out_schema = _decode_fn(specs, need)
+    from aisle_spark.schema import _spark_type
+    from pyspark.sql import types as T
+
+    spark_out = T.StructType(
+        [T.StructField(f.name, _spark_type(f.type), True) for f in out_schema]
+    )
+    decoded = blocks.select(*payload_cols).mapInArrow(decode, spark_out)
+    if where is not None:
+        decoded = decoded.filter(where.residual())
+    return decoded.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# storage: the encoded table on disk (parquet blocks + sidecar schema)
+# ---------------------------------------------------------------------------
+
+
+def write_encoded(blocks: DataFrame, path: str, schema: pa.Schema, mode: str = "error") -> None:
+    blocks.write.mode(mode).parquet(path)
+    _write_schema_sidecar(path, schema)
+
+
+def _write_schema_sidecar(path: str, schema: pa.Schema) -> None:
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_aisle_schema.arrow"), "wb") as fh:
+        fh.write(schema.serialize().to_pybytes())
+
+
+def read_encoded(spark: SparkSession, path: str) -> tuple[DataFrame, pa.Schema]:
+    import os
+
+    with open(os.path.join(path, "_aisle_schema.arrow"), "rb") as fh:
+        schema = pa.ipc.read_schema(pa.py_buffer(fh.read()))
+    return spark.read.parquet(path), schema

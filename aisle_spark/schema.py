@@ -1,0 +1,250 @@
+"""Engine schema model + deterministic synthetic token-table generator.
+
+The engine input is any flat Spark schema built from the supported kinds
+below; the primary table (BASELINE.json input_hint) is:
+
+    doc_id: string, tokens: array<int32>, n_tok: int32, source: string
+
+Column kinds map Spark/Arrow types onto codec families. The blocks table
+(the engine's "Parquet file": SURVEY.md §1.6) uses FLAT stats columns
+(``{col}__min`` etc.) rather than nested structs so that Spark's own
+parquet row-group statistics ALSO index them — pruning our manifest is a
+plain Catalyst filter whose comparisons additionally push down to the
+parquet scan of the blocks table (double-layer skipping, zero custom
+planner code).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+# kinds: "int" (ints/bool/date), "float", "string", "timestamp", "intlist"
+_ARROW_KINDS = [
+    (pa.types.is_boolean, "int"),
+    (pa.types.is_integer, "int"),
+    (pa.types.is_floating, "float"),
+    (lambda t: pa.types.is_string(t) or pa.types.is_large_string(t), "string"),
+    (pa.types.is_timestamp, "timestamp"),
+    (pa.types.is_date, "int"),
+]
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    kind: str  # int | float | string | timestamp | intlist
+    arrow_type: pa.DataType
+
+    @property
+    def stat_type(self) -> pa.DataType:
+        """Arrow type of the min/max stats columns."""
+        if self.kind == "intlist":
+            return self.arrow_type.value_type
+        return self.arrow_type
+
+
+def spec_for_field(field: pa.Field) -> ColumnSpec:
+    t = field.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if not pa.types.is_integer(t.value_type):
+            raise TypeError(f"unsupported list value type {t.value_type} for {field.name}")
+        return ColumnSpec(field.name, "intlist", t)
+    for pred, kind in _ARROW_KINDS:
+        if pred(t):
+            return ColumnSpec(field.name, kind, t)
+    raise TypeError(f"unsupported column type {t} for {field.name}")
+
+
+def specs_for_schema(schema: pa.Schema) -> list[ColumnSpec]:
+    return [spec_for_field(schema.field(i)) for i in range(len(schema))]
+
+
+# dictionary-hint threshold: blocks record the exact distinct set for a
+# column when its block cardinality is <= this (aisle's DictionaryHint
+# evidence, /root/reference/src/prune/dictionary.rs:8-70 — exact set or
+# nothing).
+DICT_HINT_MAX = 64
+
+
+def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
+    """Arrow schema of one encoded-block row (manifest + payload fused)."""
+    fields = [
+        pa.field("part_id", pa.int32()),
+        pa.field("block_id", pa.int64()),
+        pa.field("n_rows", pa.int32()),
+    ]
+    for s in specs:
+        c = s.name
+        fields.append(pa.field(f"{c}__codec", pa.string()))
+        fields.append(pa.field(f"{c}__payload", pa.binary()))
+        fields.append(pa.field(f"{c}__nulls", pa.int64()))
+        fields.append(pa.field(f"{c}__raw_bytes", pa.int64()))
+        fields.append(pa.field(f"{c}__enc_bytes", pa.int64()))
+        if s.kind == "intlist":
+            vt = s.arrow_type.value_type
+            fields += [
+                pa.field(f"{c}__elem_min", vt),
+                pa.field(f"{c}__elem_max", vt),
+                pa.field(f"{c}__len_min", pa.int64()),
+                pa.field(f"{c}__len_max", pa.int64()),
+            ]
+        else:
+            fields += [
+                pa.field(f"{c}__min", s.stat_type),
+                pa.field(f"{c}__max", s.stat_type),
+            ]
+            if s.kind == "string":
+                fields.append(pa.field(f"{c}__dict", pa.list_(pa.string())))
+            if s.kind in ("int", "timestamp"):
+                fields.append(pa.field(f"{c}__distinct", pa.int64()))
+    return pa.schema(fields)
+
+
+def blocks_spark_schema(specs: list[ColumnSpec]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f.name, _spark_type(f.type), True)
+            for f in blocks_arrow_schema(specs)
+        ]
+    )
+
+
+def _spark_type(t: pa.DataType) -> T.DataType:
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_int16(t):
+        return T.ShortType()
+    if pa.types.is_int8(t):
+        return T.ByteType()
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return T.BinaryType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_timestamp(t):
+        return T.TimestampType()
+    if pa.types.is_date32(t):
+        return T.DateType()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T.ArrayType(_spark_type(t.value_type), True)
+    raise TypeError(str(t))
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic token table (FIXTURES.md F1/F5)
+# ---------------------------------------------------------------------------
+
+TOKEN_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+    ]
+)
+
+SOURCES = ["web", "books", "code", "wiki", "forums"]
+# monster skew: "web" dominates (F5) so unsalted partitioning is lopsided
+SOURCE_P = [0.70, 0.10, 0.08, 0.07, 0.05]
+VOCAB = 1 << 17  # 131072 token ids
+
+
+CHUNK = 8192  # generation unit; rows are deterministic per absolute chunk
+
+
+def synth_batch(start: int, n: int, seed: int = 42) -> pa.RecordBatch:
+    """Generate rows [start, start+n) deterministically. Rows are produced
+    in fixed CHUNK-aligned units seeded by absolute chunk index, so ANY
+    partitioning/batching (local[8] vs local[32], different Arrow batch
+    sizes) yields the identical table. All numpy; zero per-row Python."""
+    import numpy as np
+
+    first, last = start // CHUNK, (start + n - 1) // CHUNK
+    parts = []
+    for ci in range(first, last + 1):
+        lo, hi = ci * CHUNK, (ci + 1) * CHUNK
+        full = _synth_chunk(ci, seed)
+        a, b = max(start, lo) - lo, min(start + n, hi) - lo
+        parts.append(full.slice(a, b - a))
+    tbl = pa.Table.from_batches(parts).combine_chunks()
+    return tbl.to_batches()[0] if tbl.num_rows else pa.RecordBatch.from_pylist([], TOKEN_SCHEMA)
+
+
+def _synth_chunk(chunk_idx: int, seed: int) -> pa.RecordBatch:
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.SeedSequence([seed, chunk_idx]))
+    n = CHUNK
+    start = chunk_idx * CHUNK
+    ids = np.arange(start, start + n, dtype=np.int64)
+    src_idx = rng.choice(len(SOURCES), n, p=SOURCE_P)
+    n_tok = np.clip(rng.zipf(1.3, n), 1, 8192).astype(np.int32)
+
+    # token regimes per row exercise every codec: 0=runs, 1=small-range,
+    # 2=low-card dict, 3=uniform (incompressible)
+    regime = rng.integers(0, 4, n)
+    total = int(n_tok.sum())
+    offsets = np.concatenate(([0], np.cumsum(n_tok, dtype=np.int64)))
+    values = np.empty(total, dtype=np.int32)
+    row_of = np.repeat(np.arange(n), n_tok)
+    reg_of = regime[row_of]
+    m = reg_of == 0  # runs: repeat a handful of ids
+    if m.any():
+        base = rng.integers(0, 64, m.sum()).astype(np.int32)
+        step = (np.arange(m.sum()) // 13).astype(np.int32)
+        values[m] = (base + step) % 64
+    m = reg_of == 1  # small range on a big base
+    if m.any():
+        values[m] = 100_000 + rng.integers(0, 16, m.sum()).astype(np.int32)
+    m = reg_of == 2  # low cardinality
+    if m.any():
+        palette = np.array([7, 19, 4242, 9001, 77777], dtype=np.int32)
+        values[m] = palette[rng.integers(0, palette.size, m.sum())]
+    m = reg_of == 3  # uniform over vocab
+    if m.any():
+        values[m] = rng.integers(0, VOCAB, m.sum()).astype(np.int32)
+
+    src = np.array(SOURCES)[src_idx]
+    doc_id = np.char.add(np.char.add(src, "-"), np.char.zfill(ids.astype("U12"), 12))
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_id.tolist(), type=pa.string()),
+            tokens,
+            pa.array(n_tok, type=pa.int32()),
+            pa.array(src.tolist(), type=pa.string()),
+        ],
+        schema=TOKEN_SCHEMA,
+    )
+
+
+def synth_token_df(spark, n_rows: int, seed: int = 42, slices: int | None = None):
+    """Distributed deterministic token table as a Spark DataFrame."""
+    from pyspark.sql import functions as F
+
+    slices = slices or max(8, n_rows // 50_000)
+    rng_df = spark.range(0, n_rows, 1, slices)
+
+    def gen(it):
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            if ids.size == 0:
+                continue
+            # contiguous runs within the batch keep determinism per (start,n)
+            start = int(ids[0])
+            yield synth_batch(start, ids.size, seed)
+
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string"
+    return rng_df.mapInArrow(gen, ddl)

@@ -1,0 +1,95 @@
+"""Block-level round-trip incl. nulls (F3) and stats correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aisle_spark.blocks import decode_block, encode_block, encode_column, decode_column
+from aisle_spark.schema import TOKEN_SCHEMA, specs_for_schema, spec_for_field, synth_batch
+
+SPECS = specs_for_schema(TOKEN_SCHEMA)
+
+
+def test_token_block_roundtrip_bit_identical():
+    batch = synth_batch(0, 4096)
+    row = encode_block(SPECS, batch, part_id=0, block_id=0)
+    out = decode_block(SPECS, row)
+    assert out.num_rows == 4096
+    orig = pa.Table.from_batches([batch])
+    dec = pa.Table.from_batches([out])
+    assert dec.equals(orig)  # token-array equality invariant, bit-identical
+
+
+def test_block_stats_are_exact():
+    batch = synth_batch(0, 2048)
+    row = encode_block(SPECS, batch, 0, 0)
+    nt = batch.column("n_tok").to_numpy()
+    assert row["n_tok__min"] == nt.min()
+    assert row["n_tok__max"] == nt.max()
+    assert row["n_tok__nulls"] == 0
+    flat = batch.column("tokens").flatten().to_numpy()
+    assert row["tokens__elem_min"] == flat.min()
+    assert row["tokens__elem_max"] == flat.max()
+    srcs = set(batch.column("source").to_pylist())
+    assert set(row["source__dict"]) == srcs
+    assert row["source__min"] == min(srcs)
+    assert row["source__max"] == max(srcs)
+    # compression actually happened
+    assert row["tokens__enc_bytes"] < row["tokens__raw_bytes"]
+    assert row["source__enc_bytes"] < row["source__raw_bytes"] / 4
+
+
+def test_projection_decodes_only_requested():
+    batch = synth_batch(0, 1024)
+    row = encode_block(SPECS, batch, 0, 0)
+    out = decode_block(SPECS, row, columns=["n_tok", "source"])
+    assert out.schema.names == ["n_tok", "source"]
+    np.testing.assert_array_equal(
+        out.column("n_tok").to_numpy(), batch.column("n_tok").to_numpy()
+    )
+
+
+@pytest.mark.parametrize(
+    "arr,ddl",
+    [
+        (pa.array([1, None, 3, None, 5], type=pa.int64()), pa.int64()),
+        (pa.array([None, None, None], type=pa.int32()), pa.int32()),
+        (pa.array(["a", None, "ccc", ""], type=pa.string()), pa.string()),
+        (pa.array([1.5, None, float("nan")], type=pa.float64()), pa.float64()),
+        (pa.array([[1, 2], None, [], [3]], type=pa.list_(pa.int32())), pa.list_(pa.int32())),
+        (pa.array([True, None, False], type=pa.bool_()), pa.bool_()),
+        (
+            pa.array([np.datetime64("2024-01-01T12:00:00", "us"), None], type=pa.timestamp("us")),
+            pa.timestamp("us"),
+        ),
+    ],
+)
+def test_nullable_column_roundtrip(arr, ddl):
+    spec = spec_for_field(pa.field("c", ddl))
+    enc = encode_column(spec, arr)
+    out = decode_column(spec, enc["c__payload"])
+    if pa.types.is_floating(ddl):  # arrow equals() treats NaN != NaN
+        assert out.is_valid().equals(arr.is_valid())
+        a = out.drop_null().to_numpy(zero_copy_only=False)
+        b = arr.drop_null().to_numpy(zero_copy_only=False)
+        np.testing.assert_array_equal(a.view(np.uint8), b.view(np.uint8))
+    else:
+        assert out.equals(arr.cast(spec.arrow_type))
+    assert enc["c__nulls"] == arr.null_count
+
+
+def test_all_null_block_stats_are_null():
+    spec = spec_for_field(pa.field("c", pa.int64()))
+    arr = pa.array([None, None], type=pa.int64())
+    enc = encode_column(spec, arr)
+    assert enc["c__min"] is None and enc["c__max"] is None
+    assert enc["c__nulls"] == 2
+
+
+def test_empty_block():
+    batch = synth_batch(0, 4096).slice(0, 0)
+    row = encode_block(SPECS, batch, 0, 0)
+    out = decode_block(SPECS, row)
+    assert out.num_rows == 0

@@ -1,0 +1,192 @@
+"""End-to-end encode -> prune -> decode through Spark (SURVEY.md §7.1 step 4:
+the one-query slice that proves the architecture), plus F2 exact block-skip
+assertions mirroring /root/reference/tests/prune_integration.rs:41-67."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from aisle_spark.blocks import encode_block
+from aisle_spark.filterspec import col
+from aisle_spark.pipeline import encode_table, read_encoded, scan, write_encoded
+from aisle_spark.schema import (
+    TOKEN_SCHEMA,
+    blocks_spark_schema,
+    specs_for_schema,
+    synth_batch,
+)
+
+SPECS = specs_for_schema(TOKEN_SCHEMA)
+
+
+def _two_block_manifest(spark):
+    """F2: block 0 = n_tok 1..5 / web, block 1 = n_tok 10..14 / code."""
+    rows = []
+    for bid, (lo, src) in enumerate([(1, "web"), (10, "code")]):
+        batch = pa.record_batch(
+            {
+                "doc_id": [f"{src}-{i:08d}" for i in range(lo, lo + 5)],
+                "tokens": [[j] * (lo + i) for i, j in zip(range(5), range(5))],
+                "n_tok": pa.array(range(lo, lo + 5), type=pa.int32()),
+                "source": [src] * 5,
+            },
+            schema=TOKEN_SCHEMA,
+        )
+        rows.append(encode_block(SPECS, batch, part_id=0, block_id=bid))
+    return spark.createDataFrame(rows, schema=blocks_spark_schema(SPECS))
+
+
+def _kept(blocks, spec):
+    return sorted(
+        r.block_id for r in blocks.filter(spec.keep_blocks()).select("block_id").collect()
+    )
+
+
+class TestBlockSkipCounts:
+    """Exact skip counts per predicate (assert_eq!(result.row_groups(), &[1])
+    style, /root/reference/tests/prune_integration.rs:60-63)."""
+
+    def test_gt_keeps_second_block(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("n_tok") > 9) == [1]
+
+    def test_lt_keeps_first_block(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("n_tok") < 3) == [0]
+
+    def test_eq_point(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("n_tok") == 12) == [1]
+        assert _kept(blocks, col("n_tok") == 7) == []  # between the blocks
+
+    def test_between_spanning(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("n_tok").between(4, 11)) == [0, 1]
+        assert _kept(blocks, col("n_tok").between(6, 9)) == []
+
+    def test_source_eq_dictionary_absence(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("source") == "code") == [1]
+        assert _kept(blocks, col("source") == "wiki") == []
+
+    def test_in_list(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("n_tok").isin(2, 11)) == [0, 1]
+        assert _kept(blocks, col("source").isin("wiki", "forums")) == []
+        assert _kept(blocks, col("source").isin("wiki", "web")) == [0]
+
+    def test_startswith_prefix_range(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("doc_id").startswith("code-")) == [1]
+        assert _kept(blocks, col("doc_id").startswith("zzz")) == []
+        assert _kept(blocks, col("doc_id").startswith("")) == [0, 1]
+
+    def test_and_or_not(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, (col("n_tok") > 9) & (col("source") == "code")) == [1]
+        assert _kept(blocks, (col("n_tok") < 3) | (col("source") == "code")) == [0, 1]
+        # NOT of a definitely-true pred prunes: no row satisfies n_tok >= 20
+        assert _kept(blocks, ~(col("n_tok") < 20)) == []
+        # NOT of Unknown keeps (block 1 spans 12), NOT of True prunes (block 0)
+        assert _kept(blocks, ~(col("n_tok") < 12)) == [1]
+        assert _kept(blocks, ~(col("source") == "web")) == [1]
+
+    def test_ne(self, spark):
+        blocks = _two_block_manifest(spark)
+        # block 1 has n_tok 10..14, not all == 10 -> kept; block where ALL
+        # values equal the literal would be pruned
+        assert _kept(blocks, col("n_tok") != 10) == [0, 1]
+        assert _kept(blocks, col("source") != "web") == [1]  # block 0 all-web pruned
+
+    def test_is_null_semantics(self, spark):
+        blocks = _two_block_manifest(spark)
+        assert _kept(blocks, col("n_tok").is_null()) == []  # no nulls anywhere
+        assert _kept(blocks, col("n_tok").is_not_null()) == [0, 1]
+
+
+class TestUnknownKeeps:
+    """F3: missing stats => Unknown => keep (the coalesce guard;
+    /root/reference/tests/null_count_edge_cases.rs:524 analog)."""
+
+    def _blocks_with_missing_stats(self, spark):
+        blocks = _two_block_manifest(spark)
+        from pyspark.sql import functions as F
+
+        # null out block 0's n_tok stats entirely (stats-less writer)
+        return blocks.withColumn(
+            "n_tok__min",
+            F.when(F.col("block_id") == 0, F.lit(None)).otherwise(F.col("n_tok__min")),
+        ).withColumn(
+            "n_tok__max",
+            F.when(F.col("block_id") == 0, F.lit(None)).otherwise(F.col("n_tok__max")),
+        ).withColumn(
+            "n_tok__nulls",
+            F.when(F.col("block_id") == 0, F.lit(None)).otherwise(F.col("n_tok__nulls")),
+        )
+
+    def test_missing_stats_always_kept(self, spark):
+        blocks = self._blocks_with_missing_stats(spark)
+        for spec in [
+            col("n_tok") > 100,
+            col("n_tok") == -5,
+            col("n_tok").between(6, 9),
+            col("n_tok").is_null(),
+            ~(col("n_tok") > 0),
+            col("n_tok").isin(999),
+        ]:
+            assert 0 in _kept(blocks, spec), f"wrongly pruned under {spec!r}"
+
+    def test_not_of_unknown_keeps(self, spark):
+        blocks = self._blocks_with_missing_stats(spark)
+        assert _kept(blocks, ~(col("n_tok") == 999)) == [0, 1]
+
+
+class TestEndToEnd:
+    def test_roundtrip_bit_identical(self, spark):
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(0, 3000)]))
+        blocks = encode_table(df, parts=4, block_rows=512)
+        out = scan(blocks, TOKEN_SCHEMA)
+        a = out.orderBy("doc_id").toPandas()
+        b = df.orderBy("doc_id").toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["n_tok"].tolist() == b["n_tok"].tolist()
+        assert a["source"].tolist() == b["source"].tolist()
+        for x, y in zip(a["tokens"], b["tokens"]):
+            assert list(x) == list(y)  # token-array equality invariant
+
+    def test_pruned_scan_matches_plain_filter(self, spark):
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(0, 3000)]))
+        blocks = encode_table(df, parts=4, block_rows=256, sort_cols=["source", "n_tok"]).cache()
+        spec = (col("n_tok").between(5, 60)) & (col("source") == "code")
+        got = scan(blocks, TOKEN_SCHEMA, where=spec).orderBy("doc_id").toPandas()
+        exp = (
+            df.filter((df.n_tok >= 5) & (df.n_tok <= 60) & (df.source == "code"))
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        for x, y in zip(got["tokens"], exp["tokens"]):
+            assert list(x) == list(y)
+        # pruning actually skipped blocks
+        total = blocks.count()
+        kept = blocks.filter(spec.keep_blocks()).count()
+        assert kept < total
+        blocks.unpersist()
+
+    def test_projection_pushdown_scan(self, spark):
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(0, 1000)]))
+        blocks = encode_table(df, parts=2)
+        out = scan(blocks, TOKEN_SCHEMA, where=col("n_tok") > 10, columns=["doc_id", "n_tok"])
+        assert out.columns == ["doc_id", "n_tok"]
+        assert out.count() == df.filter("n_tok > 10").count()
+
+    def test_write_read_encoded(self, spark, tmp_path):
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(0, 1000)]))
+        blocks = encode_table(df, parts=2)
+        path = str(tmp_path / "enc")
+        write_encoded(blocks, path, TOKEN_SCHEMA)
+        blocks2, schema2 = read_encoded(spark, path)
+        assert schema2.equals(TOKEN_SCHEMA)
+        out = scan(blocks2, schema2, where=col("source") == "books")
+        assert out.count() == df.filter("source = 'books'").count()
