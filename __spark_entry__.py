@@ -1,38 +1,174 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query routes through the aisle_spark engine: encode the source table
+into compressed blocks (dict/RLE/FSST/bitpack/FOR, auto-selected), prune
+blocks with the tri-state manifest filter, decode only surviving blocks,
+apply the exact residual filter. The DuckDB oracle runs the equivalent
+plain SQL on the raw parquet — so every comparison simultaneously checks
+(a) bit-identical encode/decode round-trip and (b) pruning that never
+drops a matching row (the reference's core invariant,
+/root/reference/docs/architecture.md:8).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aisle_spark.filterspec import Spec, col
+from aisle_spark.pipeline import encode_table, scan
+from aisle_spark.schema import specs_for_schema
+
+# ---------------------------------------------------------------------------
+# encoded-table cache (per process): encode once per (sf_dir, table, variant)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _encoded(spark: SparkSession, sf_dir: str, table: str, sort_cols: list[str],
+             variant: str = "", prep=None):
+    key = (sf_dir, table, variant)
+    if key not in _CACHE:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if prep is not None:
+            df = prep(df)
+        from aisle_spark.pipeline import arrow_schema_of
+
+        schema = arrow_schema_of(df)
+        blocks = encode_table(
+            df, parts=8, sort_cols=sort_cols, block_rows=2048
+        ).persist()
+        blocks.count()  # materialize so later scans reuse
+        _CACHE[key] = (blocks, schema)
+    return _CACHE[key]
+
+
+def _scan_query(table: str, sort_cols: list[str], where: Spec | None,
+                columns: list[str] | None = None, variant: str = "", prep=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        blocks, schema = _encoded(spark, sf_dir, table, sort_cols, variant, prep)
+        return scan(blocks, schema, where=where, columns=columns)
+
+    return run
+
+
+def _events_with_nulls(df: DataFrame) -> DataFrame:
+    # deterministic null injection so null/tri-state paths face real nulls
+    return df.withColumn("value", F.when(F.col("value") < 200.0, None).otherwise(F.col("value")))
+
+
+# ---------------------------------------------------------------------------
+# the flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode documents at sf0.001, pruned+projected scan."""
+    q = queries()["scan_range_and_eq"]
+    return q(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# correctness-gated queries
+# ---------------------------------------------------------------------------
+
+_DOC_SORT = ["source", "n_chars"]
+_LI_SORT = ["l_returnflag", "l_quantity"]
+_EV_SORT = ["event_type", "ts"]
+
+_SPECS: dict[str, tuple] = {
+    # name: (table, sort_cols, where-spec, projection, variant, prep)
+    "roundtrip_full": ("documents", _DOC_SORT, None, None, "", None),
+    "scan_range_and_eq": (
+        "documents",
+        _DOC_SORT,
+        col("n_chars").between(200, 400) & (col("source") == "src3"),
+        ["doc_id", "lang", "source", "n_chars"],
+        "",
+        None,
+    ),
+    "scan_source_dict_eq": (
+        "documents", _DOC_SORT, col("source") == "src7", None, "", None,
+    ),
+    "scan_in_list": (
+        "documents", _DOC_SORT, col("lang").isin("en", "de", "fr"),
+        ["doc_id", "lang", "n_chars"], "", None,
+    ),
+    "scan_startswith": (
+        "documents", _DOC_SORT, col("lang").startswith("e"),
+        ["doc_id", "lang"], "", None,
+    ),
+    "scan_not_or": (
+        "documents",
+        _DOC_SORT,
+        ~((col("source") == "src0") | (col("n_chars") < 100)),
+        ["doc_id", "source", "n_chars"],
+        "",
+        None,
+    ),
+    "scan_ne": (
+        "documents", _DOC_SORT, col("source") != "src1",
+        ["doc_id", "source"], "", None,
+    ),
+    "lineitem_range_scan": (
+        "lineitem",
+        _LI_SORT,
+        col("l_quantity").between(5.0, 10.0) & (col("l_returnflag") == "R"),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"],
+        "",
+        None,
+    ),
+    "events_ts_range": (
+        "events",
+        _EV_SORT,
+        (col("event_type") == "click"),
+        ["event_id", "ts", "user_id", "event_type"],
+        "",
+        None,
+    ),
+    "events_null_isnull": (
+        "events", _EV_SORT, col("value").is_null(),
+        ["event_id", "event_type"], "nulls", _events_with_nulls,
+    ),
+    "events_null_isnotnull_range": (
+        "events", _EV_SORT, col("value").is_not_null() & (col("value") > 400.0),
+        ["event_id", "value"], "nulls", _events_with_nulls,
+    ),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, (table, sort_cols, where, cols, variant, prep) in _SPECS.items():
+        out[name] = _scan_query(table, sort_cols, where, cols, variant, prep)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """ANSI SQL equivalents over the raw parquet views. Identity of the
+    encode/decode round-trip means each oracle is just the plain filter."""
+    out: dict[str, str] = {}
+    null_value = (
+        "CASE WHEN value < 200.0 THEN NULL ELSE value END"
+    )
+    for name, (table, _sort, where, cols, variant, prep) in _SPECS.items():
+        proj = ", ".join(cols) if cols else "*"
+        if variant == "nulls":
+            base = (
+                f"(SELECT event_id, ts, user_id, event_type, {null_value} AS value, props "
+                f"FROM events)"
+            )
+        else:
+            base = table
+        sql = f"SELECT {proj} FROM {base} t"
+        if where is not None:
+            sql += f" WHERE {where.to_sql()}"
+        out[name] = sql
+    return out

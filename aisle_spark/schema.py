@@ -54,6 +54,10 @@ def spec_for_field(field: pa.Field) -> ColumnSpec:
         return ColumnSpec(field.name, "intlist", t)
     for pred, kind in _ARROW_KINDS:
         if pred(t):
+            if kind == "timestamp":
+                # Spark's arrow boundary always speaks timestamp[us, UTC]
+                # regardless of what to_arrow_schema reports
+                t = pa.timestamp("us", tz="UTC")
             return ColumnSpec(field.name, kind, t)
     raise TypeError(f"unsupported column type {t} for {field.name}")
 
