@@ -141,7 +141,7 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
             nn.value_lengths().to_numpy(zero_copy_only=False), dtype=np.int64
         ) if len(nn) else np.zeros(0, dtype=np.int64)
         vals = flat.to_numpy(zero_copy_only=False)
-        vstats = int_stats(vals)
+        vstats = int_stats(vals, exact_distinct=False)
         vcodec = choose_int_codec(vstats, vals.dtype.itemsize) if vstats["n"] else "plain"
         lens_body = encode_ints(list_lens)
         vals_body = encode_ints(vals, vcodec)

@@ -55,7 +55,12 @@ def _from_u64(u: np.ndarray, dtype: np.dtype) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# bit-packing primitive (little-endian bit order)
+# bit-packing primitive — TRUE density, vectorized group-wise: 8 values
+# <-> exactly ``width`` bytes. Each output byte overlaps a fixed set of
+# value positions with shifts constant across groups, so pack/unpack is
+# ~width numpy shift-or ops over n/8-length arrays — no bit matrix, no
+# per-value Python. Bit order is little-endian within the stream
+# (value i occupies bits [i*width, (i+1)*width)).
 # ---------------------------------------------------------------------------
 
 
@@ -63,28 +68,73 @@ def _width(umax: int) -> int:
     return int(umax).bit_length()
 
 
+def packed_nbytes(n: int, width: int) -> int:
+    if width == 0 or n == 0:
+        return 0
+    if width in (8, 16, 32, 64):  # byte-aligned fast path stores exactly n*w/8
+        return n * width // 8
+    return ((n + 7) // 8) * width
+
+
 def bitpack_encode(u: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values < 2**width into ceil(n*width/8) bytes."""
-    if width == 0 or u.size == 0:
+    n = u.size
+    if width == 0 or n == 0:
         return b""
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    if width == 8 or width == 16 or width == 32 or width == 64:
+        return u.astype(f"<u{width // 8}", copy=False).tobytes()
+    m = (n + 7) // 8
+    pad = m * 8 - n
+    if pad:
+        u = np.concatenate((u, np.zeros(pad, dtype=np.uint64)))
+    V = u.reshape(m, 8)
+    out = np.empty((m, width), dtype=np.uint8)
+    for j in range(width):
+        lo_bit = 8 * j
+        a = lo_bit // width
+        b = (lo_bit + 7) // width
+        acc = None
+        for v in range(a, min(b, 7) + 1):
+            vstart = v * width
+            part = (
+                V[:, v] << np.uint64(vstart - lo_bit)
+                if vstart >= lo_bit
+                else V[:, v] >> np.uint64(lo_bit - vstart)
+            )
+            acc = part if acc is None else acc | part
+        out[:, j] = acc.astype(np.uint8)  # truncates to low byte
+    return out.tobytes()
 
 
 def bitpack_decode(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    if len(buf) * 8 < n * width:
+    need = packed_nbytes(n, width)
+    if len(buf) < need:
         raise ValueError(
-            f"bitpack payload truncated: need {n * width} bits, have {len(buf) * 8}"
+            f"bitpack payload truncated: need {need} bytes, have {len(buf)}"
         )
-    bits = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
-    )
-    bits = bits.reshape(n, width).astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+    if width == 8 or width == 16 or width == 32 or width == 64:
+        return np.frombuffer(buf, dtype=f"<u{width // 8}", count=n).astype(np.uint64)
+    m = (n + 7) // 8
+    B = np.frombuffer(buf, dtype=np.uint8, count=m * width).reshape(m, width)
+    B = B.astype(np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((m, 8), dtype=np.uint64)
+    for p in range(8):
+        lo = p * width
+        jb0 = lo // 8
+        jb1 = (lo + width - 1) // 8
+        acc = None
+        for j in range(jb0, jb1 + 1):
+            bstart = 8 * j
+            part = (
+                B[:, j] << np.uint64(bstart - lo)
+                if bstart >= lo
+                else B[:, j] >> np.uint64(lo - bstart)
+            )
+            acc = part if acc is None else acc | part
+        out[:, p] = acc & mask
+    return out.reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -187,24 +237,37 @@ INT_CODECS = {
 INT_CODEC_IDS = {v: k for k, v in INT_CODECS.items()}
 
 
-def int_stats(arr: np.ndarray) -> dict:
-    """Exact per-block statistics driving codec selection AND pruning
+SAMPLE_CAP = 1 << 16
+
+
+def int_stats(arr: np.ndarray, exact_distinct: bool = True) -> dict:
+    """Per-block statistics driving codec selection AND pruning
     (cardinality, run count, value range — the sampled-statistics axes
-    named in BASELINE.json north_star; here exact since blocks are small).
-    """
+    named in BASELINE.json north_star). min/max/n_runs are always exact;
+    distinct is sampled for large arrays unless ``exact_distinct`` (the
+    selection-only caller passes False; manifest stats for scalar columns
+    stay exact because blocks are small)."""
     u = _to_u64(arr)
     s = u.view(np.int64)
     n = int(arr.size)
     if n == 0:
         return {"n": 0, "min": None, "max": None, "n_runs": 0, "distinct": 0}
-    values, _ = _runs(u)
-    uniq = np.unique(u)
+    n_runs = 1 + int(np.count_nonzero(u[1:] != u[:-1]))
+    if not exact_distinct and n > SAMPLE_CAP:
+        sample = u[:: max(1, n // SAMPLE_CAP)]
+        k = int(np.unique(sample).size)
+        if k > sample.size // 2:
+            distinct = n  # high cardinality: dict can't win, skip exact pass
+        else:
+            distinct = int(np.unique(u).size)
+    else:
+        distinct = int(np.unique(u).size)
     return {
         "n": n,
         "min": int(s.min()),
         "max": int(s.max()),
-        "n_runs": int(values.size),
-        "distinct": int(uniq.size),
+        "n_runs": n_runs,
+        "distinct": distinct,
     }
 
 
@@ -220,12 +283,12 @@ def estimate_int_sizes(stats: dict, itemsize: int) -> dict[str, float]:
     code_w = _width(k - 1) if k > 1 else 0
     est = {
         "plain": n * itemsize,
-        "for": 10 + n * delta_w / 8,
-        "rle": 16 + r * (10 + delta_w / 8 + 2),
-        "dict": 9 + k * (delta_w / 8 + 2) + n * code_w / 8,
+        "for": 10 + packed_nbytes(n, delta_w),
+        "rle": 16 + r * (delta_w / 8 + 2) + 20,
+        "dict": 9 + k * (delta_w / 8 + 2) + packed_nbytes(n, code_w),
     }
     if lo >= 0:
-        est["bitpack"] = 1 + n * _width(hi) / 8
+        est["bitpack"] = 1 + packed_nbytes(n, _width(hi))
     return est
 
 
@@ -258,11 +321,12 @@ def encode_ints(arr: np.ndarray, codec: str | None = None) -> bytes:
         body = _body_dict(u)
     else:  # pragma: no cover
         raise ValueError(codec)
-    hdr = _HDR.pack(cid, _DTYPE_CODE[dtype], arr.size)
-    out = hdr + body
-    # plain fallback if the "clever" codec lost (guards incompressible data)
-    plain = _HDR.pack(PLAIN, _DTYPE_CODE[dtype], arr.size) + _body_plain(u, dtype)
-    return out if len(out) <= len(plain) else plain
+    out = _HDR.pack(cid, _DTYPE_CODE[dtype], arr.size) + body
+    # plain fallback if the "clever" codec lost (guards incompressible
+    # data) — materialized lazily, only when it would actually be smaller
+    if cid != PLAIN and len(out) > _HDR.size + arr.size * dtype.itemsize:
+        return _HDR.pack(PLAIN, _DTYPE_CODE[dtype], arr.size) + _body_plain(u, dtype)
+    return out
 
 
 def decode_ints(buf: bytes | memoryview) -> np.ndarray:
