@@ -29,6 +29,7 @@ BITPACK = 1
 FOR_BITPACK = 2
 RLE = 3
 DICT = 4
+CHUNKED = 5  # mini-block cascade: per-chunk auto codec (page analog)
 
 _DTYPES = {
     0: np.dtype("int8"),
@@ -233,8 +234,46 @@ INT_CODECS = {
     FOR_BITPACK: "for",
     RLE: "rle",
     DICT: "dict",
+    CHUNKED: "chunked",
 }
 INT_CODEC_IDS = {v: k for k, v in INT_CODECS.items()}
+
+# mini-block size for the chunked cascade: small enough that one chunk is
+# usually regime-homogeneous (one long document's tokens), large enough
+# that per-chunk constant overheads vanish
+CHUNK_VALUES = 4096
+CHUNKED_MIN = 2 * CHUNK_VALUES
+
+
+def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
+    n = u.size
+    chunks = []
+    arr = _from_u64(u, dtype)
+    for lo in range(0, n, CHUNK_VALUES):
+        c = arr[lo : lo + CHUNK_VALUES]
+        chunks.append(
+            encode_ints(c, choose_int_codec(int_stats(c, exact_distinct=False), dtype.itemsize))
+        )
+    lens = np.fromiter((len(c) for c in chunks), dtype=np.uint32, count=len(chunks))
+    return (
+        struct.pack("<II", len(chunks), CHUNK_VALUES)
+        + lens.tobytes()
+        + b"".join(chunks)
+    )
+
+
+def _unbody_chunked(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    n_chunks, _m = struct.unpack_from("<II", buf, 0)
+    lens = np.frombuffer(buf[8 : 8 + 4 * n_chunks], dtype=np.uint32)
+    out = np.empty(n, dtype=np.int64)
+    off = 8 + 4 * n_chunks
+    pos = 0
+    for ln in lens:
+        part = decode_ints(buf[off : off + int(ln)])
+        out[pos : pos + part.size] = part
+        pos += part.size
+        off += int(ln)
+    return out.view(np.uint64)
 
 
 SAMPLE_CAP = 1 << 16
@@ -304,9 +343,14 @@ def encode_ints(arr: np.ndarray, codec: str | None = None) -> bytes:
         raise TypeError(f"unsupported int dtype {dtype}")
     u = _to_u64(arr)
     if codec is None:
-        codec = choose_int_codec(int_stats(arr), dtype.itemsize)
+        if arr.size >= CHUNKED_MIN:
+            codec = "chunked"
+        else:
+            codec = choose_int_codec(int_stats(arr), dtype.itemsize)
     cid = INT_CODEC_IDS[codec]
-    if cid == PLAIN:
+    if cid == CHUNKED:
+        body = _body_chunked(u, dtype)
+    elif cid == PLAIN:
         body = _body_plain(u, dtype)
     elif cid == BITPACK:
         if arr.size and int(u.view(np.int64).min()) < 0:
@@ -334,7 +378,9 @@ def decode_ints(buf: bytes | memoryview) -> np.ndarray:
     cid, dcode, n = _HDR.unpack_from(buf, 0)
     dtype = _DTYPES[dcode]
     body = buf[_HDR.size :]
-    if cid == PLAIN:
+    if cid == CHUNKED:
+        u = _unbody_chunked(body, n, dtype)
+    elif cid == PLAIN:
         u = _unbody_plain(body, n, dtype)
     elif cid == BITPACK:
         u = _unbody_bitpack(body, n)

@@ -34,7 +34,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aisle_spark.blocks import decode_block, encode_block
+from aisle_spark.blocks import cluster_block_rows, decode_block, encode_block
 from aisle_spark.filterspec import Spec
 from aisle_spark.schema import (
     ColumnSpec,
@@ -129,7 +129,7 @@ def encode_table(
             _block_slices(tbl, specs, block_rows, max_values)
         ):
             block_id = (part_id << 24) | seq
-            rows.append(encode_block(specs, block, part_id, block_id))
+            rows.append(encode_block(specs, cluster_block_rows(specs, block), part_id, block_id))
         return pa.Table.from_pylist(rows, schema=out_schema)
 
     return salted.groupBy("part_id").applyInArrow(encode_group, schema=out_spark)
