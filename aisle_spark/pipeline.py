@@ -44,6 +44,18 @@ from aisle_spark.schema import (
 )
 
 DEFAULT_BLOCK_ROWS = 4096
+
+
+def _pin_worker_threads() -> None:
+    """Inside executor python workers, pyarrow must not fan compute out to
+    every core: N workers x N arrow threads = N^2 runnable threads and
+    throughput COLLAPSES at high parallelism (measured: local[32] slower
+    than local[8] before pinning). Idempotent; called at UDF entry."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+
+
 # cap flattened list values per block so UDF batches stay bounded
 # (SURVEY.md §7.3 risk 5): 4096 rows x zipf lengths can explode otherwise
 DEFAULT_MAX_VALUES = 1 << 21
@@ -106,20 +118,42 @@ def encode_table(
       balances BETWEEN partitions; sorting clusters WITHIN them — the
       same layout trick as parquet's sortWithinPartitions + row groups.
     """
+    salted = with_part_id(df, parts, salt_cols)
+    return encode_salted(salted, sort_cols, block_rows, max_values)
+
+
+def with_part_id(
+    df: DataFrame, parts: int, salt_cols: list[str] | None = None
+) -> DataFrame:
+    """Assign the salted partition id: xxhash64 over high-cardinality key
+    columns mod ``parts``. Uniform regardless of source skew or document
+    length — the explicit skew defense of the north rule."""
+    specs = specs_for_schema(arrow_schema_of(df))
+    salt_cols = salt_cols or [
+        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+    ]
+    return df.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(parts)).cast("int"),
+    )
+
+
+def encode_salted(
+    salted: DataFrame,
+    sort_cols: list[str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    max_values: int = DEFAULT_MAX_VALUES,
+) -> DataFrame:
+    """Encode a DataFrame that already carries ``part_id``."""
+    df = salted.drop("part_id")
     aschema = arrow_schema_of(df)
     specs = specs_for_schema(aschema)
     out_schema = blocks_arrow_schema(specs)
     out_spark = blocks_spark_schema(specs)
-
-    salt_cols = salt_cols or [
-        s.name for s in specs if s.kind in ("string", "int", "timestamp")
-    ]
     sort_keys = [(c, "ascending") for c in (sort_cols or [])]
-    salted = df.withColumn(
-        "part_id", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(parts)).cast("int")
-    )
 
     def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        _pin_worker_threads()
         part_id = int(key[0].as_py())
         tbl = tbl.drop_columns(["part_id"])
         if sort_keys:
@@ -135,12 +169,76 @@ def encode_table(
     return salted.groupBy("part_id").applyInArrow(encode_group, schema=out_spark)
 
 
+def encode_table_inline(
+    df: DataFrame,
+    parts: int = 64,
+    salt_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    max_values: int = DEFAULT_MAX_VALUES,
+    redistribute: bool = True,
+) -> DataFrame:
+    """Encode WITHOUT shuffling raw rows: a narrow ``mapInArrow`` pass
+    compresses each INPUT SPLIT into blocks (sorting rows within the split
+    first, so per-block stats stay tight), then the mandated salted
+    repartition runs over the already-compressed blocks — ~6x fewer bytes
+    cross the JVM/Python boundary and the shuffle.
+
+    Why this is the at-scale design: at 100 TB the raw-row shuffle moves
+    100 TB twice (shuffle write + read) and row<->Arrow converts every
+    token array in the JVM (GC-bound, measured anti-scaling locally);
+    shuffling compressed blocks moves ~25 TB once, and input splits are
+    already byte-balanced by ``spark.sql.files.maxPartitionBytes`` so
+    long-document skew never concentrates in one task. part_id remains
+    the salted hash of (salt_cols) of the block's first row — block-level
+    salting — so lineage/resume grouping is unchanged.
+    """
+    aschema = arrow_schema_of(df)
+    specs = specs_for_schema(aschema)
+    out_schema = blocks_arrow_schema(specs)
+    out_spark = blocks_spark_schema(specs)
+    sort_keys = [(c, "ascending") for c in (sort_cols or [])]
+    salt_cols_eff = salt_cols or [
+        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+    ]
+
+    def encode_split(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_threads()
+        import zlib
+
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        if sort_keys:
+            tbl = tbl.sort_by(sort_keys)
+        rows = []
+        for block in _block_slices(tbl, specs, block_rows, max_values):
+            first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
+            key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
+            h = zlib.crc32(key)
+            part_id = int(h % parts)
+            block_id = (int(zlib.crc32(key + b"#")) << 20) | (h & 0xFFFFF)
+            rows.append(
+                encode_block(specs, cluster_block_rows(specs, block), part_id, block_id)
+            )
+        yield from pa.Table.from_pylist(rows, schema=out_schema).to_batches()
+
+    blocks = df.mapInArrow(encode_split, out_spark)
+    if redistribute:
+        # the salted repartition of the north rule, over compressed blocks;
+        # AQE right-sizes the shuffle partitions
+        blocks = blocks.repartition(F.col("part_id"))
+    return blocks
+
+
 def _decode_fn(specs: list[ColumnSpec], need: list[str]):
     out_schema = pa.schema([pa.field(s.name, s.arrow_type) for s in specs if s.name in need])
     by_name = {s.name: s for s in specs}
     ordered = [s.name for s in specs if s.name in need]
 
     def decode(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_threads()
         for b in batches:
             for row in b.to_pylist():  # one iteration per BLOCK, not per row
                 yield decode_block([by_name[c] for c in ordered], row, ordered)

@@ -190,3 +190,28 @@ class TestEndToEnd:
         assert schema2.equals(TOKEN_SCHEMA)
         out = scan(blocks2, schema2, where=col("source") == "books")
         assert out.count() == df.filter("source = 'books'").count()
+
+
+class TestInlineEncode:
+    """encode_table_inline: narrow encode + compressed-block shuffle."""
+
+    def test_inline_roundtrip_and_prune(self, spark):
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(0, 3000)]))
+        from aisle_spark.pipeline import encode_table_inline
+
+        blocks = encode_table_inline(
+            df, parts=8, sort_cols=["source", "n_tok"], block_rows=256
+        ).cache()
+        out = scan(blocks, TOKEN_SCHEMA).orderBy("doc_id").toPandas()
+        exp = df.orderBy("doc_id").toPandas()
+        assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+        for x, y in zip(out["tokens"], exp["tokens"]):
+            assert list(x) == list(y)
+        spec = (col("n_tok").between(5, 60)) & (col("source") == "code")
+        got = scan(blocks, TOKEN_SCHEMA, where=spec).count()
+        want = df.filter("n_tok between 5 and 60 and source = 'code'").count()
+        assert got == want
+        assert blocks.filter(spec.keep_blocks()).count() < blocks.count()
+        # block ids unique
+        assert blocks.select("block_id").distinct().count() == blocks.count()
+        blocks.unpersist()
