@@ -144,10 +144,36 @@ _SPECS: dict[str, tuple] = {
 }
 
 
+_DATAOP_SORT = {"documents": ["source", "n_chars"], "embeddings": ["label", "vec_id"]}
+
+
+def _dataop_query(name: str):
+    """Run a training-pipeline op on the ENGINE-DECODED table: the gate
+    then checks round-trip identity AND the op against the raw-parquet
+    oracle in one comparison."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aisle_spark.dataops import DATAOPS
+        from aisle_spark.pipeline import scan
+
+        view, sqlfn, _has_oracle, spark_only = DATAOPS[name]
+        blocks, schema = _encoded(spark, sf_dir, view, _DATAOP_SORT[view])
+        scan(blocks, schema).createOrReplaceTempView(view)
+        if spark_only is not None:
+            return spark_only(spark)
+        return spark.sql(sqlfn("spark"))
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from aisle_spark.dataops import DATAOPS
+
     out: dict[str, Callable] = {}
     for name, (table, sort_cols, where, cols, variant, prep) in _SPECS.items():
         out[name] = _scan_query(table, sort_cols, where, cols, variant, prep)
+    for name in DATAOPS:
+        out[name] = _dataop_query(name)
     return out
 
 
@@ -171,4 +197,9 @@ def oracle_sql() -> dict[str, str]:
         if where is not None:
             sql += f" WHERE {where.to_sql()}"
         out[name] = sql
+    from aisle_spark.dataops import DATAOPS
+
+    for name, (_view, sqlfn, has_oracle, _spark_only) in DATAOPS.items():
+        if has_oracle:
+            out[name] = sqlfn("duckdb")
     return out

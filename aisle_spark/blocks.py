@@ -127,20 +127,34 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
             out[f"{c}__min"] = mm["min"].as_py()
             out[f"{c}__max"] = mm["max"].as_py()
             uniq = pc.unique(nn)
-            out[f"{c}__dict"] = (
-                sorted(uniq.to_pylist()) if len(uniq) <= DICT_HINT_MAX else None
-            )
+            if len(uniq) <= DICT_HINT_MAX:
+                out[f"{c}__dict"] = sorted(uniq.to_pylist())
+                out[f"{c}__bloom"] = None
+            else:
+                # dict hint too big -> bloom evidence instead (the two are
+                # complementary, /root/reference/src/expr/rewrite.rs analog)
+                from aisle_spark.codecs.bloom import build_bloom
+
+                out[f"{c}__dict"] = None
+                out[f"{c}__bloom"] = build_bloom(lengths, data)
         else:
             out[f"{c}__min"] = out[f"{c}__max"] = None
             out[f"{c}__dict"] = []
+            out[f"{c}__bloom"] = None
         raw = int(lengths.sum()) + 8 * n
-    elif spec.kind == "intlist":
+    elif spec.kind in ("intlist", "floatlist"):
         nn = arr.drop_null()
         flat = nn.flatten()
         list_lens = np.asarray(
             nn.value_lengths().to_numpy(zero_copy_only=False), dtype=np.int64
         ) if len(nn) else np.zeros(0, dtype=np.int64)
         vals = flat.to_numpy(zero_copy_only=False)
+        fvals = None
+        if spec.kind == "floatlist":
+            # route float bit patterns through the int codec stack —
+            # exact (NaN payloads, signed zeros preserved)
+            fvals = vals
+            vals = vals.view(np.int32 if vals.dtype == np.float32 else np.int64)
         vstats = int_stats(vals, exact_distinct=False)
         from aisle_spark.codecs.ints import CHUNKED_MIN
 
@@ -154,8 +168,13 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         vals_body = encode_ints(vals, vcodec)
         body = struct.pack("<I", len(lens_body)) + lens_body + vals_body
         out[f"{c}__codec"] = f"len:{codec_name(lens_body)}|val:{codec_name(vals_body)}"
-        out[f"{c}__elem_min"] = vstats["min"]
-        out[f"{c}__elem_max"] = vstats["max"]
+        if spec.kind == "floatlist":
+            finite = fvals[~np.isnan(fvals)] if fvals.size else fvals
+            out[f"{c}__elem_min"] = float(finite.min()) if finite.size else None
+            out[f"{c}__elem_max"] = float(finite.max()) if finite.size else None
+        else:
+            out[f"{c}__elem_min"] = vstats["min"]
+            out[f"{c}__elem_max"] = vstats["max"]
         out[f"{c}__len_min"] = int(list_lens.min()) if list_lens.size else None
         out[f"{c}__len_max"] = int(list_lens.max()) if list_lens.size else None
         raw = vals.nbytes + 8 * n
@@ -199,10 +218,12 @@ def decode_column(spec: ColumnSpec, payload: bytes | memoryview) -> pa.Array:
     if spec.kind == "string":
         lengths, data = decode_strings(body)
         return _string_array(t, n, valid, lengths, data)
-    if spec.kind == "intlist":
+    if spec.kind in ("intlist", "floatlist"):
         (ll,) = struct.unpack_from("<I", body, 0)
         list_lens = decode_ints(body[4 : 4 + ll]).astype(np.int64)
         vals = decode_ints(body[4 + ll :])
+        if spec.kind == "floatlist":
+            vals = vals.view(np.float32 if vals.dtype == np.int32 else np.float64)
         return _list_array(t, n, valid, list_lens, vals)
     raise TypeError(spec.kind)  # pragma: no cover
 
@@ -267,7 +288,7 @@ def cluster_block_rows(specs: list[ColumnSpec], batch: pa.Table | pa.RecordBatch
     stats (they are set-valued) and to query results (DataFrames are
     unordered); measured ~12% smaller token payloads on the mixed-regime
     synthetic corpus. Fully vectorized (reduceat + argsort + take)."""
-    list_specs = [s for s in specs if s.kind == "intlist"]
+    list_specs = [s for s in specs if s.kind == "intlist"]  # clustering keys off int token widths only
     if not list_specs or len(batch) < 2:
         return batch
     s = list_specs[0]

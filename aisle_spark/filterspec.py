@@ -33,6 +33,7 @@ from __future__ import annotations
 import datetime as _dt
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -64,6 +65,21 @@ def next_prefix(p: str) -> str | None:
 # ---------------------------------------------------------------------------
 # tri-state algebra
 # ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PruneOptions:
+    """Evidence toggles (aisle PruneOptions,
+    /root/reference/src/prune/options.rs:56-66). We default BOTH dictionary
+    and bloom evidence on — unlike the reference's dict-off default —
+    because our per-block evidence is always exact and inline (no async
+    provider cost to amortize)."""
+
+    use_dict: bool = True
+    use_bloom: bool = True
+
+
+DEFAULT_OPTIONS = PruneOptions()
 
 
 @dataclass(frozen=True)
@@ -138,7 +154,7 @@ class Spec:
         return Not(self)
 
     # -- interface --
-    def tri(self) -> Tri:  # block-level tri-state
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:  # block-level tri-state
         raise NotImplementedError
 
     def residual(self) -> Column:  # exact row-level Column
@@ -150,10 +166,10 @@ class Spec:
     def columns(self) -> set[str]:
         raise NotImplementedError
 
-    def keep_blocks(self) -> Column:
+    def keep_blocks(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
         """Manifest filter: keep unless definitely false
         (/root/reference/src/prune/api.rs:58-60 analog)."""
-        return ~self.tri().f
+        return ~self.tri(opts).f
 
 
 def _stats(col: str):
@@ -169,6 +185,34 @@ def _dict_col(col: str) -> Column:
     return F.col(f"{col}__dict")
 
 
+def _bloom_absent(colname: str, values: tuple[str, ...]) -> Column:
+    """Definite-absence of EVERY value per block bloom filter — vectorized
+    pandas UDF over the manifest (blocks are few relative to rows; the
+    bit tests run on a stacked numpy matrix). NULL bloom => False (no
+    evidence, not absence) — the Unknown side of the tri-state."""
+    from aisle_spark.codecs.bloom import M_BYTES, bloom_positions, blooms_absent_matrix
+
+    pos_list = [bloom_positions(v.encode("utf-8")) for v in values]
+
+    @F.pandas_udf("boolean")
+    def absent(b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(b), dtype=bool)
+        mask = b.notna().to_numpy()
+        if mask.any():
+            stacked = np.frombuffer(b"".join(b[mask]), dtype=np.uint8).reshape(
+                -1, M_BYTES
+            )
+            all_absent = np.ones(stacked.shape[0], dtype=bool)
+            for pos in pos_list:
+                all_absent &= blooms_absent_matrix(stacked, pos)
+            out[mask] = all_absent
+        return pd.Series(out)
+
+    return absent(F.col(f"{colname}__bloom"))
+
+
 @dataclass(frozen=True)
 class Cmp(Spec):
     col: str
@@ -177,7 +221,7 @@ class Cmp(Spec):
 
     _SQL_OP = {"eq": "=", "ne": "<>", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
 
-    def tri(self) -> Tri:
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         smin, smax, nulls, nrows = _stats(self.col)
         v = F.lit(self.value)
         no_nulls = nulls == 0
@@ -210,8 +254,13 @@ class Cmp(Spec):
             # under any Not nesting, since Not swaps into the t-side
             # invariant (t => no row evaluates FALSE)… which "all rows
             # F-or-N" also satisfies after the swap maps F to T.
-            d = _dict_col(self.col)
-            f = f | (d.isNotNull() & ~F.array_contains(d, self.value))
+            if opts.use_dict:
+                d = _dict_col(self.col)
+                f = f | (d.isNotNull() & ~F.array_contains(d, self.value))
+            # bloom definite-absence (aisle BloomFilterEq,
+            # /root/reference/src/prune/bloom.rs:9-54)
+            if opts.use_bloom:
+                f = f | _bloom_absent(self.col, (self.value,))
         return Tri(_c(t), _c(f))
 
     def residual(self) -> Column:
@@ -242,8 +291,8 @@ class Between(Spec):
     def _parts(self) -> Spec:
         return And([Cmp(self.col, "ge", self.low), Cmp(self.col, "le", self.high)])
 
-    def tri(self) -> Tri:
-        return self._parts().tri()
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        return self._parts().tri(opts)
 
     def residual(self) -> Column:
         return F.col(self.col).between(F.lit(self.low), F.lit(self.high))
@@ -260,11 +309,11 @@ class InList(Spec):
     col: str
     values: tuple
 
-    def tri(self) -> Tri:
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         # OR of Eq (short-circuit semantics come from the Kleene fold,
         # /root/reference/src/prune/in_list.rs:6-45)
-        base = tri_or([Cmp(self.col, "eq", v).tri() for v in self.values])
-        if all(isinstance(v, str) for v in self.values) and self.values:
+        base = tri_or([Cmp(self.col, "eq", v).tri(opts) for v in self.values])
+        if opts.use_dict and all(isinstance(v, str) for v in self.values) and self.values:
             d = _dict_col(self.col)
             absent_all = d.isNotNull() & ~F.arrays_overlap(
                 d, F.array(*[F.lit(v) for v in self.values])
@@ -287,7 +336,7 @@ class IsNull(Spec):
     col: str
     negated: bool = False
 
-    def tri(self) -> Tri:
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         _, _, nulls_raw, nrows = _stats(self.col)
         nulls = F.col(f"{self.col}__nulls")  # keep NULL-able: missing stats => Unknown
         t = nulls == nrows
@@ -312,7 +361,7 @@ class StartsWith(Spec):
     col: str
     prefix: str
 
-    def tri(self) -> Tri:
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         # prefix -> range rewrite [p, next_prefix(p))
         # (/root/reference/src/prune/starts_with.rs:4-69)
         smin, smax, nulls, _ = _stats(self.col)
@@ -348,8 +397,8 @@ class StartsWith(Spec):
 class And(Spec):
     parts: list
 
-    def tri(self) -> Tri:
-        return tri_and([p.tri() for p in self.parts])
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        return tri_and([p.tri(opts) for p in self.parts])
 
     def residual(self) -> Column:
         out = self.parts[0].residual()
@@ -368,8 +417,8 @@ class And(Spec):
 class Or(Spec):
     parts: list
 
-    def tri(self) -> Tri:
-        return tri_or([p.tri() for p in self.parts])
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        return tri_or([p.tri(opts) for p in self.parts])
 
     def residual(self) -> Column:
         out = self.parts[0].residual()
@@ -388,8 +437,8 @@ class Or(Spec):
 class Not(Spec):
     inner: Spec
 
-    def tri(self) -> Tri:
-        i = self.inner.tri()
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        i = self.inner.tri(opts)
         return Tri(i.f, i.t)
 
     def residual(self) -> Column:
@@ -404,7 +453,7 @@ class Not(Spec):
 
 @dataclass(frozen=True)
 class AlwaysTrue(Spec):
-    def tri(self) -> Tri:
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         return Tri(F.lit(True), F.lit(False))
 
     def residual(self) -> Column:

@@ -75,7 +75,7 @@ def _block_slices(
     import numpy as np
 
     n = tbl.num_rows
-    list_cols = [s.name for s in specs if s.kind == "intlist"]
+    list_cols = [s.name for s in specs if s.kind in ("intlist", "floatlist")]
     if not list_cols:
         for lo in range(0, n, block_rows):
             yield tbl.slice(lo, min(block_rows, n - lo))
@@ -230,6 +230,84 @@ def encode_table_inline(
         # AQE right-sizes the shuffle partitions
         blocks = blocks.repartition(F.col("part_id"))
     return blocks
+
+
+def encode_files_inline(
+    spark: SparkSession,
+    input_path: str,
+    parts: int = 64,
+    salt_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    max_values: int = DEFAULT_MAX_VALUES,
+    redistribute: bool = True,
+) -> tuple[DataFrame, pa.Schema]:
+    """Fastest encode path: Spark schedules; each python task reads its
+    parquet file directly with pyarrow (C++ decode straight to Arrow — the
+    JVM never materializes the raw rows at all) and emits compressed
+    blocks. Profiling here showed the JVM parquet->InternalRow->Arrow
+    conversion of array columns is the hard throughput ceiling (it doesn't
+    scale past ~8 cores); with pyarrow-native reads the encode scales like
+    the raw numpy codecs. At cluster scale the same pattern reads from
+    S3/HDFS via pyarrow.fs inside executors."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(
+        f
+        for f in _glob.glob(_os.path.join(input_path, "*.parquet"))
+        if not _os.path.basename(f).startswith(("_", "."))
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    import pyarrow.parquet as _pq
+
+    in_schema = _pq.read_schema(files[0])
+    specs = specs_for_schema(
+        pa.schema([f for f in in_schema if not f.name.startswith("_")])
+    )
+    out_schema = blocks_arrow_schema(specs)
+    out_spark = blocks_spark_schema(specs)
+    sort_keys = [(c, "ascending") for c in (sort_cols or [])]
+    salt_cols_eff = salt_cols or [
+        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+    ]
+    names = [s.name for s in specs]
+
+    def encode_file(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_threads()
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b.column(0).to_pylist():  # per input FILE
+                tbl = pq.read_table(path, columns=names)
+                if sort_keys:
+                    tbl = tbl.sort_by(sort_keys)
+                rows = []
+                for block in _block_slices(tbl, specs, block_rows, max_values):
+                    first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
+                    key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
+                    h = zlib.crc32(key)
+                    rows.append(
+                        encode_block(
+                            specs,
+                            cluster_block_rows(specs, block),
+                            int(h % parts),
+                            (int(zlib.crc32(key + b"#")) << 20) | (h & 0xFFFFF),
+                        )
+                    )
+                yield from pa.Table.from_pylist(rows, schema=out_schema).to_batches()
+
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+    blocks = fdf.mapInArrow(encode_file, out_spark)
+    if redistribute:
+        blocks = blocks.repartition(F.col("part_id"))
+    in_arrow = pa.schema([pa.field(s.name, s.arrow_type) for s in specs])
+    return blocks, in_arrow
 
 
 def _decode_fn(specs: list[ColumnSpec], need: list[str]):

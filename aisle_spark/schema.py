@@ -41,7 +41,7 @@ class ColumnSpec:
     @property
     def stat_type(self) -> pa.DataType:
         """Arrow type of the min/max stats columns."""
-        if self.kind == "intlist":
+        if self.kind in ("intlist", "floatlist"):
             return self.arrow_type.value_type
         return self.arrow_type
 
@@ -49,9 +49,12 @@ class ColumnSpec:
 def spec_for_field(field: pa.Field) -> ColumnSpec:
     t = field.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        if not pa.types.is_integer(t.value_type):
-            raise TypeError(f"unsupported list value type {t.value_type} for {field.name}")
-        return ColumnSpec(field.name, "intlist", t)
+        if pa.types.is_integer(t.value_type):
+            return ColumnSpec(field.name, "intlist", t)
+        if pa.types.is_floating(t.value_type):
+            # embeddings: float bit patterns routed through the int codecs
+            return ColumnSpec(field.name, "floatlist", t)
+        raise TypeError(f"unsupported list value type {t.value_type} for {field.name}")
     for pred, kind in _ARROW_KINDS:
         if pred(t):
             if kind == "timestamp":
@@ -87,7 +90,7 @@ def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
         fields.append(pa.field(f"{c}__nulls", pa.int64()))
         fields.append(pa.field(f"{c}__raw_bytes", pa.int64()))
         fields.append(pa.field(f"{c}__enc_bytes", pa.int64()))
-        if s.kind == "intlist":
+        if s.kind in ("intlist", "floatlist"):
             vt = s.arrow_type.value_type
             fields += [
                 pa.field(f"{c}__elem_min", vt),
@@ -102,6 +105,7 @@ def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
             ]
             if s.kind == "string":
                 fields.append(pa.field(f"{c}__dict", pa.list_(pa.string())))
+                fields.append(pa.field(f"{c}__bloom", pa.binary()))
             if s.kind in ("int", "timestamp"):
                 fields.append(pa.field(f"{c}__distinct", pa.int64()))
     return pa.schema(fields)
