@@ -1,0 +1,131 @@
+"""spark-submit entrypoints (ship the package with --py-files).
+
+Usage (north rule: "runs via spark-submit --py-files"):
+
+  # build the zip once
+  python -m aisle_spark.cli package --out aisle_spark.zip
+
+  spark-submit --py-files aisle_spark.zip -m aisle_spark.cli … \
+      encode --input /data/tokens --output /data/encoded \
+             --parts 4096 --sort source,n_tok [--resumable --groups 64]
+
+  spark-submit --py-files aisle_spark.zip -m aisle_spark.cli … \
+      scan --table /data/encoded \
+           --where "col('source') == 'code') & (col('n_tok') > 100" … \
+           --columns doc_id,n_tok --output /data/result
+
+The --where expression is evaluated with ONLY the `col` builder in scope.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _session(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def cmd_encode(args) -> None:
+    from aisle_spark.pipeline import (
+        arrow_schema_of,
+        encode_files_inline,
+        _write_schema_sidecar,
+    )
+
+    spark = _session("aisle-encode")
+    sort_cols = args.sort.split(",") if args.sort else None
+    if args.resumable:
+        from aisle_spark.checkpoint import encode_resumable
+
+        df = spark.read.parquet(args.input)
+        ran = encode_resumable(
+            df,
+            args.output,
+            parts=args.parts,
+            groups=args.groups,
+            sort_cols=sort_cols,
+        )
+        print(f"encoded {ran} group(s) this run (0 = already complete)")
+    else:
+        blocks, schema = encode_files_inline(
+            spark, args.input, parts=args.parts, sort_cols=sort_cols
+        )
+        blocks.write.mode(args.mode).option("compression", "none").parquet(args.output)
+        _write_schema_sidecar(args.output, schema)
+    spark.stop()
+
+
+def cmd_scan(args) -> None:
+    from aisle_spark.filterspec import col  # noqa: F401 (eval namespace)
+    from aisle_spark.pipeline import read_encoded, scan
+
+    spark = _session("aisle-scan")
+    blocks, schema = read_encoded(spark, args.table)
+    where = None
+    if args.where:
+        where = eval(args.where, {"__builtins__": {}}, {"col": col})  # noqa: S307
+    columns = args.columns.split(",") if args.columns else None
+    out = scan(blocks, schema, where=where, columns=columns)
+    if args.output:
+        out.write.mode(args.mode).parquet(args.output)
+    else:
+        out.show(args.limit, truncate=False)
+    spark.stop()
+
+
+def cmd_package(args) -> None:
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    print(f"wrote {args.out}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="aisle_spark.cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode", help="encode a parquet table into blocks")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--parts", type=int, default=256)
+    e.add_argument("--sort", default=None, help="comma-separated sort columns")
+    e.add_argument("--mode", default="overwrite")
+    e.add_argument("--resumable", action="store_true")
+    e.add_argument("--groups", type=int, default=16)
+    e.set_defaults(fn=cmd_encode)
+
+    s = sub.add_parser("scan", help="pruned scan over an encoded table")
+    s.add_argument("--table", required=True)
+    s.add_argument("--where", default=None)
+    s.add_argument("--columns", default=None)
+    s.add_argument("--output", default=None)
+    s.add_argument("--mode", default="overwrite")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_scan)
+
+    z = sub.add_parser("package", help="zip the package for --py-files")
+    z.add_argument("--out", default="aisle_spark.zip")
+    z.set_defaults(fn=cmd_package)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 WORK = "/tmp/aisle_bench"
 
 
+def _cpu_sample() -> tuple[int, int]:
+    parts = open("/proc/stat").readline().split()[1:]
+    vals = list(map(int, parts))
+    return vals[7] if len(vals) > 7 else 0, sum(vals)  # steal, total
+
+
+def _steal_pct(a: tuple[int, int], b: tuple[int, int]) -> float:
+    ds, dt = b[0] - a[0], b[1] - a[1]
+    return round(100.0 * ds / dt, 2) if dt > 0 else 0.0
+
+
 def _session(master: str, shuffle: int):
     from pyspark.sql import SparkSession
 
@@ -119,13 +130,16 @@ def _compute_scaling() -> dict:
     ) % os.path.dirname(os.path.abspath(__file__))
     out = {}
     for n in (8, 32):
-        procs = [
-            subprocess.Popen([sys.executable, "-c", worker, str(i)],
-                             stdout=subprocess.PIPE)
-            for i in range(n)
-        ]
-        agg = sum(float(p.communicate()[0]) for p in procs)
-        out[f"procs{n}_tokens_per_sec"] = round(agg)
+        best = 0.0
+        for _ in range(2):  # best-of-2 against hypervisor noise
+            procs = [
+                subprocess.Popen([sys.executable, "-c", worker, str(i)],
+                                 stdout=subprocess.PIPE)
+                for i in range(n)
+            ]
+            agg = sum(float(p.communicate()[0]) for p in procs)
+            best = max(best, agg)
+        out[f"procs{n}_tokens_per_sec"] = round(best)
     if out.get("procs8_tokens_per_sec"):
         out["efficiency_8_to_32"] = round(
             out["procs32_tokens_per_sec"] / out["procs8_tokens_per_sec"] / 4, 3
@@ -145,6 +159,7 @@ def main() -> None:
 
     os.makedirs(WORK, exist_ok=True)
     queries: dict[str, float] = {}
+    cpu0 = _cpu_sample()
 
     from pyspark.sql import functions as F
 
@@ -272,17 +287,21 @@ def main() -> None:
             )  # confine the WHOLE process tree (JVM+GC+python) to N cpus —
             # otherwise local[N] "borrows" spare host cores for JVM overhead
             # work and the small-N run is unfairly fast
+            c_before = _cpu_sample()
             r = subprocess.run(
                 [*confine, sys.executable, os.path.abspath(__file__), "--scale-worker",
                  f"local[{cores}]", sc_inp, f"{WORK}/scale_{cores}"],
                 capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            run_steal = _steal_pct(c_before, _cpu_sample())
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
             w = json.loads(line).get("wall")
             if w:
-                walls[cores] = min(walls[cores], w)
-                queries[f"encode_local{cores}"] = round(walls[cores], 3)
+                if w < walls[cores]:
+                    walls[cores] = w
+                    queries[f"encode_local{cores}"] = round(w, 3)
+                    queries[f"encode_local{cores}_steal_pct"] = run_steal
         if walls[8] < float("inf") and walls[32] < float("inf"):
             eff = (walls[8] / walls[32]) / (32 / 8)
             scaling_out = {
@@ -292,6 +311,7 @@ def main() -> None:
             }
         scaling_out["compute_only"] = _compute_scaling()
 
+    steal = _steal_pct(cpu0, _cpu_sample())
     print(
         json.dumps(
             {
@@ -313,6 +333,10 @@ def main() -> None:
                     "kept_range_and_eq": kept_range,
                 },
                 "scaling": scaling_out,
+                "env": {
+                    "cpu_steal_pct_during_run": steal,
+                    "note": "shared-hypervisor sandbox; steal >5% inflates every wall time — compare runs at similar steal",
+                },
             }
         )
     )
