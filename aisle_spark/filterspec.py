@@ -168,8 +168,27 @@ class Spec:
 
     def keep_blocks(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
         """Manifest filter: keep unless definitely false
-        (/root/reference/src/prune/api.rs:58-60 analog)."""
-        return ~self.tri(opts).f
+        (/root/reference/src/prune/api.rs:58-60 analog).
+
+        Built STRUCTURALLY as ``NOT f`` with null-handling expanded into
+        explicit ``(cmp OR col IS NULL)`` disjuncts at the leaves, never a
+        ``coalesce`` wrapper: coalesce blocks Catalyst's data-source filter
+        translation, and the whole point of the manifest being a parquet
+        table is that these very comparisons ALSO prune the blocks table's
+        own row groups (payload bytes of skipped blocks are then never
+        read). Semantics identical to ``~tri().f`` — tests assert both."""
+        return self.keep(opts)
+
+    # structural NOT-f (keep) and NOT-t (not definitely true), with
+    # Unknown mapping to True in both — the De Morgan duals of tri():
+    #   keep(And)=all keep_i      not_true(And)=any not_true_i
+    #   keep(Or)=any keep_i       not_true(Or)=all not_true_i
+    #   keep(Not x)=not_true(x)   not_true(Not x)=keep(x)
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        raise NotImplementedError
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        raise NotImplementedError
 
 
 def _stats(col: str):
@@ -179,6 +198,24 @@ def _stats(col: str):
         F.coalesce(F.col(f"{col}__nulls"), F.lit(0)),
         F.col("n_rows").cast("long"),
     )
+
+
+def _raw_stats(col: str):
+    return (
+        F.col(f"{col}__min"),
+        F.col(f"{col}__max"),
+        F.col(f"{col}__nulls"),
+        F.col("n_rows").cast("long"),
+    )
+
+
+def _or_null(cmp: Column, *operands: Column) -> Column:
+    """cmp OR any(operand IS NULL) — the pushdown-translatable form of
+    'unknown stats keep the block'."""
+    out = cmp
+    for c in operands:
+        out = out | c.isNull()
+    return out
 
 
 def _dict_col(col: str) -> Column:
@@ -263,6 +300,58 @@ class Cmp(Spec):
                 f = f | _bloom_absent(self.col, (self.value,))
         return Tri(_c(t), _c(f))
 
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        smin, smax, nulls, _ = _raw_stats(self.col)
+        v = F.lit(self.value)
+        op = self.op
+        if op == "eq":
+            out = _or_null(smin <= v, smin) & _or_null(smax >= v, smax)
+            if isinstance(self.value, str):
+                if opts.use_dict:
+                    d = _dict_col(self.col)
+                    out = out & _or_null(F.array_contains(d, self.value), d)
+                if opts.use_bloom:
+                    out = out & ~_bloom_absent(self.col, (self.value,))
+            return out
+        if op == "ne":
+            return (
+                _or_null(smin != v, smin)
+                | _or_null(smax != v, smax)
+                | _or_null(nulls != 0, nulls)
+            )
+        if op == "lt":
+            return _or_null(smin < v, smin)
+        if op == "le":
+            return _or_null(smin <= v, smin)
+        if op == "gt":
+            return _or_null(smax > v, smax)
+        if op == "ge":
+            return _or_null(smax >= v, smax)
+        raise ValueError(op)  # pragma: no cover
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        smin, smax, nulls, _ = _raw_stats(self.col)
+        v = F.lit(self.value)
+        has_nulls = _or_null(nulls != 0, nulls)
+        op = self.op
+        if op == "eq":
+            return (
+                _or_null(smin != v, smin) | _or_null(smax != v, smax) | has_nulls
+            )
+        if op == "ne":
+            return (
+                _or_null(smin <= v, smin) & _or_null(smax >= v, smax)
+            ) | has_nulls
+        if op == "lt":
+            return _or_null(smax >= v, smax) | has_nulls
+        if op == "le":
+            return _or_null(smax > v, smax) | has_nulls
+        if op == "gt":
+            return _or_null(smin <= v, smin) | has_nulls
+        if op == "ge":
+            return _or_null(smin < v, smin) | has_nulls
+        raise ValueError(op)  # pragma: no cover
+
     def residual(self) -> Column:
         c = F.col(self.col)
         v = F.lit(self.value)
@@ -294,6 +383,12 @@ class Between(Spec):
     def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         return self._parts().tri(opts)
 
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return self._parts().keep(opts)
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return self._parts().not_true(opts)
+
     def residual(self) -> Column:
         return F.col(self.col).between(F.lit(self.low), F.lit(self.high))
 
@@ -321,6 +416,32 @@ class InList(Spec):
             base = Tri(base.t, base.f | _c(absent_all))
         return base
 
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        smin, smax, _, _ = _raw_stats(self.col)
+        parts = [
+            _or_null(smin <= F.lit(v), smin) & _or_null(smax >= F.lit(v), smax)
+            for v in self.values
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out | p
+        if all(isinstance(v, str) for v in self.values) and self.values:
+            if opts.use_dict:
+                d = _dict_col(self.col)
+                out = out & _or_null(
+                    F.arrays_overlap(d, F.array(*[F.lit(v) for v in self.values])), d
+                )
+            if opts.use_bloom:
+                out = out & ~_bloom_absent(self.col, tuple(self.values))
+        return out
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        out = None
+        for v in self.values:
+            nt = Cmp(self.col, "eq", v).not_true(opts)
+            out = nt if out is None else out & nt
+        return out if out is not None else F.lit(True)
+
     def residual(self) -> Column:
         return F.col(self.col).isin(list(self.values))
 
@@ -344,6 +465,20 @@ class IsNull(Spec):
         if self.negated:
             t, f = f, t
         return Tri(_c(t), _c(f))
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        nulls = F.col(f"{self.col}__nulls")
+        nrows = F.col("n_rows").cast("long")
+        if self.negated:  # prune iff nulls == n_rows (all null)
+            return _or_null(nulls != nrows, nulls)
+        return _or_null(nulls != 0, nulls)  # prune iff no nulls at all
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        nulls = F.col(f"{self.col}__nulls")
+        nrows = F.col("n_rows").cast("long")
+        if self.negated:
+            return _or_null(nulls != 0, nulls)
+        return _or_null(nulls != nrows, nulls)
 
     def residual(self) -> Column:
         c = F.col(self.col)
@@ -382,6 +517,27 @@ class StartsWith(Spec):
             t = t & (smax < F.lit(np_))
         return Tri(_c(t), _c(f))
 
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        smin, smax, _, _ = _raw_stats(self.col)
+        if self.prefix == "":
+            return F.lit(True)
+        out = _or_null(smax >= F.lit(self.prefix), smax)
+        np_ = next_prefix(self.prefix)
+        if np_ is not None:
+            out = out & _or_null(smin < F.lit(np_), smin)
+        return out
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        smin, smax, nulls, _ = _raw_stats(self.col)
+        has_nulls = _or_null(nulls != 0, nulls)
+        if self.prefix == "":
+            return has_nulls
+        out = _or_null(smin < F.lit(self.prefix), smin) | has_nulls
+        np_ = next_prefix(self.prefix)
+        if np_ is not None:
+            out = out | _or_null(smax >= F.lit(np_), smax)
+        return out
+
     def residual(self) -> Column:
         return F.col(self.col).startswith(self.prefix)
 
@@ -399,6 +555,18 @@ class And(Spec):
 
     def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         return tri_and([p.tri(opts) for p in self.parts])
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        out = self.parts[0].keep(opts)
+        for p in self.parts[1:]:
+            out = out & p.keep(opts)
+        return out
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        out = self.parts[0].not_true(opts)
+        for p in self.parts[1:]:
+            out = out | p.not_true(opts)
+        return out
 
     def residual(self) -> Column:
         out = self.parts[0].residual()
@@ -419,6 +587,18 @@ class Or(Spec):
 
     def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         return tri_or([p.tri(opts) for p in self.parts])
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        out = self.parts[0].keep(opts)
+        for p in self.parts[1:]:
+            out = out | p.keep(opts)
+        return out
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        out = self.parts[0].not_true(opts)
+        for p in self.parts[1:]:
+            out = out & p.not_true(opts)
+        return out
 
     def residual(self) -> Column:
         out = self.parts[0].residual()
@@ -441,6 +621,12 @@ class Not(Spec):
         i = self.inner.tri(opts)
         return Tri(i.f, i.t)
 
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return self.inner.not_true(opts)
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return self.inner.keep(opts)
+
     def residual(self) -> Column:
         return ~self.inner.residual()
 
@@ -455,6 +641,12 @@ class Not(Spec):
 class AlwaysTrue(Spec):
     def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         return Tri(F.lit(True), F.lit(False))
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(True)
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(False)
 
     def residual(self) -> Column:
         return F.lit(True)

@@ -215,3 +215,54 @@ class TestInlineEncode:
         # block ids unique
         assert blocks.select("block_id").distinct().count() == blocks.count()
         blocks.unpersist()
+
+
+class TestKeepEqualsTri:
+    """The pushdown-friendly structural keep() must agree with the
+    coalesce-based tri-state reference implementation on every predicate
+    shape, including missing-stats blocks."""
+
+    SPECS_TO_CHECK = [
+        col("n_tok") > 9,
+        col("n_tok") < 3,
+        col("n_tok") == 12,
+        col("n_tok") != 10,
+        col("n_tok").between(4, 11),
+        col("n_tok").isin(2, 11),
+        col("source") == "code",
+        col("source").isin("wiki", "web"),
+        col("source") != "web",
+        col("doc_id").startswith("code-"),
+        col("doc_id").startswith(""),
+        col("n_tok").is_null(),
+        col("n_tok").is_not_null(),
+        ~(col("n_tok") < 12),
+        ~(col("source") == "web"),
+        ~((col("source") == "src0") | (col("n_tok") < 100)),
+        (col("n_tok") > 9) & (col("source") == "code"),
+        ~(col("n_tok") == 999),
+        ~(col("n_tok").is_null()),
+        ~(col("doc_id").startswith("web")),
+    ]
+
+    def test_keep_matches_not_f(self, spark):
+        from pyspark.sql import functions as F
+
+        blocks = _two_block_manifest(spark)
+        # add a missing-stats variant of block 0
+        damaged = blocks
+        for c in ("n_tok__min", "n_tok__max", "n_tok__nulls"):
+            damaged = damaged.withColumn(
+                c, F.when(F.col("block_id") == 0, F.lit(None)).otherwise(F.col(c))
+            )
+        for frame in (blocks, damaged):
+            for spec in self.SPECS_TO_CHECK:
+                a = sorted(
+                    r.block_id
+                    for r in frame.filter(spec.keep_blocks()).select("block_id").collect()
+                )
+                b = sorted(
+                    r.block_id
+                    for r in frame.filter(~spec.tri().f).select("block_id").collect()
+                )
+                assert a == b, f"keep() != ~tri().f for {spec!r}: {a} vs {b}"
