@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import sys
+import datetime as _dt
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -130,6 +131,17 @@ _SPECS: dict[str, tuple] = {
         _EV_SORT,
         (col("event_type") == "click"),
         ["event_id", "ts", "user_id", "event_type"],
+        "",
+        None,
+    ),
+    "events_ts_between": (
+        "events",
+        _EV_SORT,
+        col("ts").between(
+            _dt.datetime(2024, 1, 10), _dt.datetime(2024, 2, 1)
+        )
+        & (col("event_type") == "purchase"),
+        ["event_id", "ts", "event_type", "value"],
         "",
         None,
     ),

@@ -64,6 +64,18 @@ def test_projection_decodes_only_requested():
             pa.array([np.datetime64("2024-01-01T12:00:00", "us"), None], type=pa.timestamp("us")),
             pa.timestamp("us"),
         ),
+        (
+            pa.array(
+                [__import__("datetime").date(2024, 3, 1), None,
+                 __import__("datetime").date(1969, 12, 31)],
+                type=pa.date32(),
+            ),
+            pa.date32(),
+        ),
+        (
+            pa.array([-5, None, 200], type=pa.int16()),
+            pa.int16(),
+        ),
     ],
 )
 def test_nullable_column_roundtrip(arr, ddl):
