@@ -328,6 +328,86 @@ def encode_block(
     return row
 
 
+def decode_block_filtered(
+    specs: list[ColumnSpec],
+    row: dict,
+    columns: list[str],
+    where,
+    select_threshold: float = 0.5,
+) -> pa.RecordBatch:
+    """RowFilter-inside-the-reader (/root/reference/src/row_filter.rs
+    analog + the reference's page-level refinement): decode the cheap
+    predicate columns first, evaluate the exact row mask via pyarrow
+    kernels, and decode the expensive list payloads ONLY for surviving
+    rows — touching just the mini-block chunks those rows live in. Falls
+    back to full decode when the predicate needs list columns or when
+    most rows survive anyway."""
+    import numpy as np
+
+    from aisle_spark.codecs.ints import decode_ints_ranges
+    from aisle_spark.rowmask import row_mask
+
+    by_name = {s.name: s for s in specs}
+    pred_cols = sorted(where.columns())
+    if any(by_name[c].kind in ("intlist", "floatlist") for c in pred_cols if c in by_name):
+        return decode_block(specs, row, columns)
+
+    pred_arrays = {c: decode_column(by_name[c], row[f"{c}__payload"]) for c in pred_cols}
+    pred_batch = pa.RecordBatch.from_arrays(
+        list(pred_arrays.values()),
+        schema=pa.schema([pa.field(c, by_name[c].arrow_type) for c in pred_cols]),
+    )
+    mask = row_mask(where, pred_batch)
+    n = pred_batch.num_rows
+    sel = np.flatnonzero(mask)
+    if sel.size > n * select_threshold:
+        return decode_block(specs, row, columns)
+    if sel.size == 0:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=by_name[c].arrow_type) for c in columns],
+            schema=pa.schema([pa.field(c, by_name[c].arrow_type) for c in columns]),
+        )
+    idx = pa.array(sel)
+
+    arrays = []
+    for c in columns:
+        spec = by_name[c]
+        if c in pred_arrays:
+            arrays.append(pred_arrays[c].take(idx))
+            continue
+        if spec.kind in ("intlist", "floatlist") and sel.size:
+            buf = memoryview(row[f"{c}__payload"])
+            nn, valid, body = _unwrap(buf)
+            (ll,) = struct.unpack_from("<I", body, 0)
+            list_lens = decode_ints(body[4 : 4 + ll]).astype(np.int64)
+            full_lens = _expand(nn, valid, list_lens)
+            ends = np.cumsum(full_lens)
+            starts = ends - full_lens
+            ranges = [(int(starts[i]), int(ends[i])) for i in sel]
+            parts = decode_ints_ranges(body[4 + ll :], ranges)
+            vals = (
+                np.concatenate(parts) if len(parts) > 1 else
+                (parts[0] if parts else np.zeros(0, dtype=np.int64))
+            )
+            if spec.kind == "floatlist":
+                vals = vals.view(np.float32 if vals.dtype == np.int32 else np.float64)
+            sel_full_lens = full_lens[sel]
+            if valid is not None:
+                sel_valid = valid[sel]
+                nn_lens = sel_full_lens[sel_valid]
+            else:
+                sel_valid, nn_lens = None, sel_full_lens
+            arrays.append(
+                _list_array(spec.arrow_type, sel.size, sel_valid, nn_lens, vals)
+            )
+            continue
+        arrays.append(decode_column(spec, row[f"{c}__payload"]).take(idx))
+    return pa.RecordBatch.from_arrays(
+        arrays,
+        schema=pa.schema([pa.field(c, by_name[c].arrow_type) for c in columns]),
+    )
+
+
 def decode_block(
     specs: list[ColumnSpec], row: dict, columns: list[str] | None = None
 ) -> pa.RecordBatch:

@@ -398,3 +398,63 @@ def decode_ints(buf: bytes | memoryview) -> np.ndarray:
 def codec_name(buf: bytes | memoryview) -> str:
     cid = memoryview(buf)[0]
     return INT_CODECS[int(cid)]
+
+
+def decode_ints_ranges(
+    buf: bytes | memoryview, ranges: list[tuple[int, int]]
+) -> list[np.ndarray]:
+    """Decode several [start, stop) value ranges, decoding each needed
+    mini-block chunk at most once (random access for the filtered decode
+    path). Falls back to one full decode for non-chunked payloads."""
+    buf = memoryview(buf)
+    cid, dcode, n = _HDR.unpack_from(buf, 0)
+    if cid != CHUNKED:
+        vals = decode_ints(buf)
+        return [vals[max(0, a) : min(n, b)] for a, b in ranges]
+    body = buf[_HDR.size :]
+    n_chunks, m = struct.unpack_from("<II", body, 0)
+    lens = np.frombuffer(body[8 : 8 + 4 * n_chunks], dtype=np.uint32)
+    offs = 8 + 4 * n_chunks + np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    cache: dict[int, np.ndarray] = {}
+
+    def chunk(ci: int) -> np.ndarray:
+        if ci not in cache:
+            cache[ci] = decode_ints(body[offs[ci] : offs[ci + 1]])
+        return cache[ci]
+
+    out = []
+    for a, b in ranges:
+        a, b = max(0, a), min(n, b)
+        if a >= b:
+            out.append(np.zeros(0, dtype=_DTYPES[dcode]))
+            continue
+        c0, c1 = a // m, (b - 1) // m
+        parts = [chunk(ci) for ci in range(c0, c1 + 1)]
+        vals = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        out.append(vals[a - c0 * m : b - c0 * m])
+    return out
+
+
+def decode_ints_slice(buf: bytes | memoryview, start: int, stop: int) -> np.ndarray:
+    """Decode only values [start, stop) — random access via the chunked
+    codec's mini-block index (the page-offset analog,
+    /root/reference/src/prune/page.rs:160-181); non-chunked payloads fall
+    back to full decode + slice."""
+    buf = memoryview(buf)
+    cid, dcode, n = _HDR.unpack_from(buf, 0)
+    start = max(0, start)
+    stop = min(n, stop)
+    if start >= stop:
+        return np.zeros(0, dtype=_DTYPES[dcode])
+    if cid != CHUNKED:
+        return decode_ints(buf)[start:stop]
+    body = buf[_HDR.size :]
+    n_chunks, m = struct.unpack_from("<II", body, 0)
+    lens = np.frombuffer(body[8 : 8 + 4 * n_chunks], dtype=np.uint32)
+    offs = 8 + 4 * n_chunks + np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    c0, c1 = start // m, (stop - 1) // m
+    parts = [
+        decode_ints(body[offs[ci] : offs[ci + 1]]) for ci in range(c0, c1 + 1)
+    ]
+    vals = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return vals[start - c0 * m : stop - c0 * m]

@@ -31,7 +31,7 @@ The same AST lowers three ways:
 from __future__ import annotations
 
 import datetime as _dt
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import Column
@@ -90,13 +90,6 @@ class Tri:
 
 def _c(x: Column) -> Column:
     return F.coalesce(x, F.lit(False))
-
-
-_UNKNOWN = None  # marker: build lazily since Columns need no session? they do not
-
-
-def tri_unknown() -> Tri:
-    return Tri(F.lit(False), F.lit(False))
 
 
 def tri_and(parts: list[Tri]) -> Tri:

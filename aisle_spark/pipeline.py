@@ -310,16 +310,24 @@ def encode_files_inline(
     return blocks, in_arrow
 
 
-def _decode_fn(specs: list[ColumnSpec], need: list[str]):
+def _decode_fn(specs: list[ColumnSpec], need: list[str], where=None):
     out_schema = pa.schema([pa.field(s.name, s.arrow_type) for s in specs if s.name in need])
     by_name = {s.name: s for s in specs}
     ordered = [s.name for s in specs if s.name in need]
 
     def decode(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_threads()
+        from aisle_spark.blocks import decode_block_filtered
+
+        sub = [by_name[c] for c in ordered]
         for b in batches:
             for row in b.to_pylist():  # one iteration per BLOCK, not per row
-                yield decode_block([by_name[c] for c in ordered], row, ordered)
+                if where is not None:
+                    # exact row filter INSIDE the reader: surviving rows
+                    # decode only the mini-block chunks they touch
+                    yield decode_block_filtered(sub, row, ordered, where)
+                else:
+                    yield decode_block(sub, row, ordered)
 
     return decode, out_schema
 
@@ -342,7 +350,7 @@ def scan(
     if where is not None:
         blocks = blocks.filter(where.keep_blocks())
     payload_cols = [f"{c}__payload" for c in need]
-    decode, out_schema = _decode_fn(specs, need)
+    decode, out_schema = _decode_fn(specs, need, where)
     from aisle_spark.schema import _spark_type
     from pyspark.sql import types as T
 

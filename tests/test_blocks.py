@@ -105,3 +105,47 @@ def test_empty_block():
     row = encode_block(SPECS, batch, 0, 0)
     out = decode_block(SPECS, row)
     assert out.num_rows == 0
+
+
+def test_filtered_decode_matches_full():
+    """RowFilter-inside-reader: decode_block_filtered(selective pred) must
+    equal full decode + mask, incl. chunked token slicing and timestamps."""
+    import datetime
+
+    from aisle_spark.blocks import decode_block_filtered
+    from aisle_spark.filterspec import col as C
+
+    batch = synth_batch(0, 4096)
+    row = encode_block(SPECS, batch, 0, 0)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    for spec in [
+        C("n_tok") == int(batch.column("n_tok")[0].as_py()),
+        (C("source") == "code") & (C("n_tok") > 50),
+        C("doc_id").startswith("books-"),
+        C("n_tok") > 10**9,  # empty
+    ]:
+        got = decode_block_filtered(SPECS, row, cols, spec)
+        full = decode_block(SPECS, row, cols)
+        from aisle_spark.rowmask import row_mask
+
+        mask = row_mask(spec, full)
+        exp = full.filter(pa.array(mask))
+        assert got.num_rows == exp.num_rows
+        assert pa.Table.from_batches([got]).sort_by([("doc_id", "ascending")]).equals(
+            pa.Table.from_batches([exp]).sort_by([("doc_id", "ascending")])
+        )
+
+
+def test_rowmask_timestamp_tz_coercion():
+    import datetime
+
+    from aisle_spark.filterspec import col as C
+    from aisle_spark.rowmask import row_mask
+
+    arr = pa.array(
+        [datetime.datetime(2024, 1, 5), datetime.datetime(2024, 2, 5)],
+        type=pa.timestamp("us", tz="UTC"),
+    )
+    b = pa.RecordBatch.from_arrays([arr], names=["ts"])
+    m = row_mask(C("ts").between(datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 31)), b)
+    assert m.tolist() == [True, False]

@@ -21,12 +21,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if s.dtype == object and len(s) and isinstance(s.iloc[0], (list, tuple)) is False:
-            pass
-        df[c] = s.astype(str)
+    df = df[sorted(df.columns)].astype(str)
     rows = sorted(df.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
