@@ -17,11 +17,19 @@ Ops (the large-scale training-pipeline set):
   text_lang_guess       stopword-list n-gram language heuristic
   text_fingerprint      normalized-content rolling fingerprint (md5)
   dedup_exact           exact dedup via content-hash groupBy
-  dedup_ngram_jaccard   3-gram shingle Jaccard near-dup pairs
+  dedup_ngram_jaccard   3-gram shingle Jaccard near-dup pairs (all-pairs —
+                        the small-scale ORACLE form; the pipeline path is
+                        dedup_lsh_jaccard)
   dedup_minhash_lsh     minhash (md5-salted) + banded LSH candidate pairs
-  dedup_simhash         16-bit simhash clusters (Spark-only, rows-only gate)
-  ann_dot_topk          brute-force inner-product top-k neighbors
-  ann_lsh_buckets       random-hyperplane LSH bucketing (Spark-only)
+  dedup_lsh_jaccard     exact Jaccard verified ONLY on LSH candidate pairs
+                        (the at-scale composition: no all-pairs join)
+  dedup_simhash         64-bit banded simhash near-dup pairs with exact
+                        hamming verification (bit_count over band XORs)
+  ann_dot_topk          brute-force inner-product top-k neighbors (small-n
+                        oracle; the scale path is ann_lsh_topk)
+  ann_lsh_buckets       random-hyperplane LSH bucketing
+  ann_lsh_topk          bucketed top-k: equi-join on LSH bucket, brute
+                        force only within buckets
 """
 
 from __future__ import annotations
@@ -49,6 +57,9 @@ _DIALECTS = {
         "AT": lambda arr, i: f"element_at({arr}, {i})",
         "DOUBLE_ARR": lambda c: f"transform({c}, x -> CAST(x AS DOUBLE))",
         "DOT": lambda a, b: f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        "XOR": lambda a, b: f"({a} ^ {b})",
+        "SHR": lambda a, n: f"shiftright({a}, {n})",
+        "DLIT": lambda x: f"{x:.17g}D",
     },
     "duckdb": {
         "SIZE": "len",
@@ -58,6 +69,9 @@ _DIALECTS = {
         "AT": lambda arr, i: f"list_extract({arr}, {i})",
         "DOUBLE_ARR": lambda c: f"CAST({c} AS DOUBLE[])",
         "DOT": lambda a, b: f"list_dot_product({a}, {b})",
+        "XOR": lambda a, b: f"xor({a}, {b})",
+        "SHR": lambda a, n: f"({a} >> {n})",
+        "DLIT": lambda x: f"CAST('{x:.17g}' AS DOUBLE)",
     },
 }
 
@@ -173,7 +187,9 @@ _MINHASH_H = 6
 _BANDS = 3  # rows-per-band = 2
 
 
-def _t_minhash_lsh(d, dialect_name: str) -> str:
+def _minhash_ctes(d, dialect_name: str) -> str:
+    """Shared CTE prefix ``sh, sig, bands, cand`` — shingles, minhash
+    signature, banded keys, and LSH candidate pairs."""
     explode_cte = (
         f"SELECT DISTINCT doc_id, shingle FROM ({_shingle_select(d, dialect_name)}) raw"
     )
@@ -185,13 +201,113 @@ def _t_minhash_lsh(d, dialect_name: str) -> str:
         cols = " || ':' || ".join(f"h{b * 2 + j}" for j in range(2))
         band_keys.append(f"SELECT doc_id, {b} AS band, {cols} AS bkey FROM sig")
     bands_sql = " UNION ALL ".join(band_keys)
-    return f"""
-WITH sh AS ({explode_cte}),
+    return f"""sh AS ({explode_cte}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS ({bands_sql})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+
+
+def _t_minhash_lsh(d, dialect_name: str) -> str:
+    return f"""
+WITH {_minhash_ctes(d, dialect_name)}
+SELECT doc_a, doc_b FROM cand
+"""
+
+
+def _t_lsh_jaccard(d, dialect_name: str) -> str:
+    """Exact Jaccard computed ONLY over LSH candidate pairs — the at-scale
+    composition (VERDICT r1 #9): the shingle join is restricted to
+    candidate docs, so nothing quadratic in corpus size ever runs. The
+    all-pairs ``dedup_ngram_jaccard`` stays as the small-sf oracle form."""
+    return f"""
+WITH {_minhash_ctes(d, dialect_name)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.12
+"""
+
+
+def _hexv(expr: str) -> str:
+    """Portable hex-digit value: md5 output is lowercase in both dialects."""
+    return (
+        f"(CASE WHEN ascii({expr}) >= 97 THEN ascii({expr}) - 87 "
+        f"ELSE ascii({expr}) - 48 END)"
+    )
+
+
+_SIMHASH_HAMMING_MAX = 16
+
+
+def _t_simhash(d, dialect_name: str) -> str:
+    """64-bit simhash with banded near-dup lookup (VERDICT r1 #3): the
+    md5 of each shingle supplies 64 hash bits as four 16-bit bands; per-bit
+    signed majorities give the document signature; candidate pairs share
+    at least one identical band (equi-join — never a scan of the 2^64 key
+    space); exact hamming distance over band XOR popcounts verifies. At
+    corpus scale each stage is a uniform-key shuffle; no monster groups
+    (the 16-bit GROUP BY pitfall this replaces)."""
+    explode = _shingle_select(d, dialect_name)
+    bandv = []
+    for b in range(4):
+        terms = " + ".join(
+            f"{_hexv(f'substr(h, {4 * b + i + 1}, 1)')} * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        bandv.append(f"{terms} AS band{b}")
+    sums = []
+    for b in range(4):
+        for j in range(16):
+            shr = d["SHR"](f"band{b}", j)
+            sums.append(
+                f"sum(CASE WHEN ({shr} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}_{j}"
+            )
+    sigs = []
+    for b in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN s{b}_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+        )
+        sigs.append(f"{bits} AS g{b}")
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, g{b} AS bkey FROM sig" for b in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count({d['XOR'](f'sa.g{b}', f'sb.g{b}')})" for b in range(4)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, md5(shingle) AS h
+  FROM (SELECT DISTINCT doc_id, shingle FROM ({explode}) raw) dd
+),
+bv AS (SELECT doc_id, {', '.join(bandv)} FROM hs),
+bits AS (SELECT doc_id, {', '.join(sums)} FROM bv GROUP BY doc_id),
+sig AS (SELECT doc_id, {', '.join(sigs)} FROM bits),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {ham} AS hamming
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE {ham} <= {_SIMHASH_HAMMING_MAX}
 """
 
 
@@ -219,71 +335,87 @@ SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
 
 
 # --------------------------------------------------------------------------
-# Spark-only ops (rows-only correctness gate)
+# ANN: random-hyperplane LSH bucketing + bucketed top-k
 # --------------------------------------------------------------------------
 
-
-def simhash_clusters(spark: SparkSession) -> DataFrame:
-    """16-bit simhash per document from 3-gram shingles (xxhash64 bit
-    majority), grouped into clusters — classic near-dup bucketing.
-    Built-ins only: explode -> bit tests -> signed sums -> bit reassembly."""
-    return spark.sql(
-        """
-WITH sh AS (
-  SELECT doc_id, shingle, xxhash64(shingle) AS h FROM (
-    SELECT doc_id, explode(transform(
-      CASE WHEN size(split(text,' ')) - 2 < 1 THEN array()
-           ELSE sequence(1, size(split(text,' ')) - 2) END,
-      i -> concat_ws(' ', element_at(split(text,' '), i),
-                     element_at(split(text,' '), i + 1),
-                     element_at(split(text,' '), i + 2)))) AS shingle
-    FROM documents) raw
-),
-bits AS (
-  SELECT doc_id,
-    """
-        + ",\n    ".join(
-            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
-            for i in range(16)
-        )
-        + """
-  FROM sh GROUP BY doc_id
-),
-sig AS (
-  SELECT doc_id, """
-        + " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
-        + """ AS simhash
-  FROM bits
-)
-SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id,
-       collect_list(doc_id) AS doc_ids
-FROM sig GROUP BY simhash HAVING count(*) >= 1
-"""
-    ).selectExpr("simhash", "n_docs", "keeper_doc_id", "sort_array(doc_ids) AS doc_ids")
+_ANN_DIM = 64
 
 
-def ann_lsh_buckets(spark: SparkSession, n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """Random-hyperplane LSH over embeddings: bucket id = sign-bit string of
-    dot products against seeded deterministic hyperplanes (the IVF/LSH scale
-    path next to brute force). Planes are literal arrays — pure JVM math."""
+def _planes(n_planes: int, dim: int = _ANN_DIM, seed: int = 1234):
     import numpy as np
 
-    rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((n_planes, dim))
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(d, emb: str, n_planes: int, dim: int = _ANN_DIM) -> str:
+    """LSH bucket id = packed sign bits of dot products against seeded
+    deterministic hyperplanes. The dot is an EXPLICIT left-associated
+    term chain (identical fp evaluation order in both dialects, so the
+    sign — hence the bucket — is bit-reproducible across engines)."""
+    planes = _planes(n_planes, dim)
     bits = []
-    for p, plane in enumerate(planes):
-        arr = "array(" + ", ".join(f"{x:.6f}D" for x in plane) + ")"
-        bits.append(
-            f"(CASE WHEN aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), {arr}, (x, y) -> x * y), 0.0D, (a, v) -> a + v) > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"CAST({d['AT'](emb, i + 1)} AS DOUBLE) * {d['DLIT'](planes[p, i])}"
+            for i in range(dim)
         )
-    bucket = " + ".join(bits)
-    return spark.sql(
-        f"""
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_BUCKET_PLANES = 8  # 256 buckets for the bucketing op
+_TOPK_PLANES = 4  # 16 buckets for top-k: ~n/16 candidates per query
+
+
+def _t_ann_lsh_buckets(d) -> str:
+    bucket = _bucket_expr(d, "embedding", _BUCKET_PLANES)
+    return f"""
 SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
 FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings) t
 GROUP BY bucket
 """
-    )
+
+
+def _t_ann_lsh_topk(d) -> str:
+    """Bucketed ANN top-k (VERDICT r1 #6): queries join candidates through
+    the LSH bucket id — an EQUI-join — and brute-force scoring runs only
+    within buckets (~n/2^planes candidates each), replacing the
+    BroadcastNestedLoopJoin cartesian of ann_dot_topk as the scale path."""
+    bucket = _bucket_expr(d, "embedding", _TOPK_PLANES)
+    qe = d["DOUBLE_ARR"]("q.embedding")
+    ce = d["DOUBLE_ARR"]("c.embedding")
+    dot = d["DOT"]("qe2", "ce2")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {qe} AS qe2, {ce} AS ce2
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
+),
+scored AS (SELECT query_id, neighbor_id, {dot} AS score FROM pairs),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def simhash_pairs(spark: SparkSession) -> DataFrame:
+    """Convenience wrapper over the dual-dialect simhash template."""
+    return spark.sql(_t_simhash(_DIALECTS["spark"], "spark"))
+
+
+def ann_lsh_buckets(spark: SparkSession) -> DataFrame:
+    """Convenience wrapper over the dual-dialect bucketing template."""
+    return spark.sql(_t_ann_lsh_buckets(_DIALECTS["spark"]))
 
 
 # --------------------------------------------------------------------------
@@ -315,7 +447,11 @@ DATAOPS: dict[str, tuple] = {
     "dedup_minhash_lsh": (
         "documents", _sql_op(_t_minhash_lsh, True), True, None,
     ),
-    "dedup_simhash": ("documents", None, False, simhash_clusters),
+    "dedup_lsh_jaccard": (
+        "documents", _sql_op(_t_lsh_jaccard, True), True, None,
+    ),
+    "dedup_simhash": ("documents", _sql_op(_t_simhash, True), True, None),
     "ann_dot_topk": ("embeddings", _sql_op(_t_ann_dot_topk), True, None),
-    "ann_lsh_buckets": ("embeddings", None, False, ann_lsh_buckets),
+    "ann_lsh_buckets": ("embeddings", _sql_op(_t_ann_lsh_buckets), True, None),
+    "ann_lsh_topk": ("embeddings", _sql_op(_t_ann_lsh_topk), True, None),
 }

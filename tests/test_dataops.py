@@ -37,12 +37,17 @@ def test_text_ops_run_and_agree_with_duckdb(views):
         assert g == e, f"{name}: value mismatch"
 
 
-def test_simhash_clusters(views):
-    from aisle_spark.dataops import simhash_clusters
+def test_simhash_pairs(views):
+    from aisle_spark.dataops import _SIMHASH_HAMMING_MAX, simhash_pairs
 
-    out = simhash_clusters(views).toPandas()
-    assert out["n_docs"].sum() == 500
-    assert (out["simhash"] >= 0).all() and (out["simhash"] < 1 << 16).all()
+    out = simhash_pairs(views).toPandas()
+    # near-dup pairs exist in the corpus, all within the hamming band,
+    # scalar columns only (driver canonicalizer cannot hash arrays)
+    assert len(out) > 0
+    assert out["hamming"].between(0, _SIMHASH_HAMMING_MAX).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
+    assert not any(hasattr(v, "__len__") and not isinstance(v, str)
+                   for v in out.iloc[0])
 
 
 def test_ann_lsh_buckets(views):
@@ -54,6 +59,20 @@ def test_ann_lsh_buckets(views):
     # deterministic across invocations
     out2 = ann_lsh_buckets(views).toPandas()
     assert out.sort_values("bucket").equals(out2.sort_values("bucket"))
+
+
+def test_ann_lsh_topk_is_equi_join(views):
+    """The bucketed top-k must plan an equi-join (SortMergeJoin/
+    BroadcastHashJoin), never a nested-loop cartesian (VERDICT r1 #2)."""
+    from aisle_spark.dataops import DATAOPS
+
+    sqlfn = DATAOPS["ann_lsh_topk"][1]
+    df = views.sql(sqlfn("spark"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    out = df.toPandas()
+    assert set(out["query_id"]) <= {0, 1, 2, 3}
+    assert (out["rnk"] <= 5).all()
 
 
 def test_multimodal_pipeline(spark):
