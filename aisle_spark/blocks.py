@@ -41,6 +41,22 @@ from aisle_spark.schema import DICT_HINT_MAX, ColumnSpec
 _CHDR = struct.Struct("<BI")
 
 
+def _float_min_max(vals: np.ndarray) -> tuple[float | None, float | None]:
+    """Min/max under SPARK's total ordering, where NaN is GREATER than any
+    other value (and NaN == NaN). Recording max = NaN whenever the block
+    contains one keeps the tri-state pruner sound for gt/ge/ne/eq-NaN
+    predicates: Spark SQL evaluates the manifest comparison ``smax > v``
+    as ``NaN > v`` = TRUE, so NaN-bearing blocks are never skipped —
+    IEEE-style NaN-excluded stats silently dropped those rows (ADVICE r1
+    high)."""
+    if not vals.size:
+        return None, None
+    nonnan = vals[~np.isnan(vals)]
+    mn = float(nonnan.min()) if nonnan.size else float("nan")
+    mx = float("nan") if nonnan.size < vals.size else float(nonnan.max())
+    return mn, mx
+
+
 def _validity(arr: pa.Array) -> tuple[np.ndarray | None, int]:
     nulls = arr.null_count
     if nulls == 0:
@@ -108,12 +124,8 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         vals = arr.drop_null().to_numpy(zero_copy_only=False)
         body = encode_floats(vals)
         out[f"{c}__codec"] = "float:" + codec_name(memoryview(body)[1:])
-        if vals.size:
-            finite = vals[~np.isnan(vals)]
-            out[f"{c}__min"] = float(finite.min()) if finite.size else None
-            out[f"{c}__max"] = float(finite.max()) if finite.size else None
-        else:
-            out[f"{c}__min"] = out[f"{c}__max"] = None
+        mn, mx = _float_min_max(vals)
+        out[f"{c}__min"], out[f"{c}__max"] = mn, mx
         raw = vals.nbytes
     elif spec.kind == "string":
         nn = arr.drop_null()
@@ -169,9 +181,8 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         body = struct.pack("<I", len(lens_body)) + lens_body + vals_body
         out[f"{c}__codec"] = f"len:{codec_name(lens_body)}|val:{codec_name(vals_body)}"
         if spec.kind == "floatlist":
-            finite = fvals[~np.isnan(fvals)] if fvals.size else fvals
-            out[f"{c}__elem_min"] = float(finite.min()) if finite.size else None
-            out[f"{c}__elem_max"] = float(finite.max()) if finite.size else None
+            emn, emx = _float_min_max(fvals)
+            out[f"{c}__elem_min"], out[f"{c}__elem_max"] = emn, emx
         else:
             out[f"{c}__elem_min"] = vstats["min"]
             out[f"{c}__elem_max"] = vstats["max"]

@@ -4,10 +4,11 @@ to a checkpoint table so any interrupted run resumes from the last
 committed partition").
 
 Layout under ``out_path``:
-  *.parquet            encoded block rows, appended one GROUP of part_ids
-                       at a time (each group = one atomic Spark write job)
+  grp=<g>/*.parquet    encoded block rows of ONE group (one atomic Spark
+                       overwrite job per group; ``grp`` doubles as a
+                       partition column for readers)
   _checkpoint/         parquet: one row per committed group
-  _lineage/            parquet: one row per committed part_id with block/
+  _lineage/grp=<g>/    parquet: one row per committed part_id with block/
                        row/byte metrics (the skew audit — F5 uses this)
   _aisle_schema.arrow  input-schema sidecar
 
@@ -16,12 +17,11 @@ and shuffle-free — form of the left-anti join the north rule names;
 with millions of groups this becomes ``todo.join(done, "left_anti")``
 on a groups DataFrame).
 
-Idempotence: each group is written by an independent Spark job whose
-output only becomes visible on job commit (FileOutputCommitter), and the
-checkpoint row is appended strictly AFTER the data job commits. A crash
-between the two re-runs that group; re-encoding a group is deterministic
-(same rows -> same blocks) so the rerun overwrites nothing and duplicates
-nothing that a reader keyed on group dirs would see twice.
+Idempotence (ADVICE r1): the checkpoint row is the ONLY commit point.
+Data and lineage for group ``g`` land in group-exclusive directories with
+mode=overwrite, so a crash anywhere before the checkpoint append simply
+replays the group and REPLACES any partial or duplicate output — a flat
+``spark.read.parquet(out_path)`` can never observe a group twice.
 """
 
 from __future__ import annotations
@@ -87,14 +87,17 @@ def encode_resumable(
         t0 = time.time()
         part = salted.filter(F.col("group_id") == g).drop("group_id")
         blocks = encode_salted(part, sort_cols=sort_cols, **kwargs)
-        blocks.write.mode("append").option("compression", "none").parquet(out_path)
+        # group-exclusive dir + overwrite => crash replay REPLACES partial
+        # output instead of appending a duplicate (ADVICE r1 medium)
+        blocks.write.mode("overwrite").option("compression", "none").parquet(
+            os.path.join(out_path, f"grp={g}")
+        )
         wall = time.time() - t0
 
-        # per-partition lineage + metrics from the just-committed manifest
-        lo, hi = g * parts // groups, (g + 1) * parts // groups
-        written = spark.read.parquet(out_path).filter(
-            (F.col("part_id") >= lo) & (F.col("part_id") < hi)
-        )
+        # per-partition lineage + metrics from the just-committed GROUP dir
+        # (reads exactly this group's blocks — no full-output relisting,
+        # no floor-division drift vs _group_of; ADVICE r1 low)
+        written = spark.read.parquet(os.path.join(out_path, f"grp={g}"))
         enc_cols = [c for c in written.columns if c.endswith("__enc_bytes")]
         raw_cols = [c for c in written.columns if c.endswith("__raw_bytes")]
         per_part = written.groupBy("part_id").agg(
@@ -103,7 +106,9 @@ def encode_resumable(
             sum((F.sum(c) for c in enc_cols), F.lit(0)).alias("enc_bytes"),
             sum((F.sum(c) for c in raw_cols), F.lit(0)).alias("raw_bytes"),
         ).withColumn("group_id", F.lit(g))
-        per_part.write.mode("append").parquet(lineage)
+        per_part.write.mode("overwrite").parquet(
+            os.path.join(lineage, f"grp={g}")
+        )
 
         agg = per_part.agg(
             F.count("*"), F.sum("n_rows"), F.sum("enc_bytes"), F.sum("raw_bytes")

@@ -652,6 +652,44 @@ class AlwaysTrue(Spec):
 
 
 # ---------------------------------------------------------------------------
+# literal normalization for the in-reader mask
+# ---------------------------------------------------------------------------
+
+
+def _utc_value(v):
+    """Naive datetime -> the UTC instant PySpark's ``F.lit`` would produce
+    (``TimestampType.toInternal`` uses the DRIVER-process time zone). Must
+    run driver-side so executor-local time zones can never skew the
+    in-reader row mask vs the Catalyst residual (ADVICE r1 medium)."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        from pyspark.sql.types import TimestampType
+
+        micros = TimestampType().toInternal(v)
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+    if isinstance(v, _dt.datetime):  # tz-aware -> naive UTC
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def utc_normalize(spec: Spec) -> Spec:
+    """Copy of ``spec`` with every datetime literal rewritten to its naive-
+    UTC instant, for executor-side evaluation against UTC-stored data."""
+    if isinstance(spec, Cmp):
+        return Cmp(spec.col, spec.op, _utc_value(spec.value))
+    if isinstance(spec, Between):
+        return Between(spec.col, _utc_value(spec.low), _utc_value(spec.high))
+    if isinstance(spec, InList):
+        return InList(spec.col, tuple(_utc_value(v) for v in spec.values))
+    if isinstance(spec, And):
+        return And([utc_normalize(p) for p in spec.parts])
+    if isinstance(spec, Or):
+        return Or([utc_normalize(p) for p in spec.parts])
+    if isinstance(spec, Not):
+        return Not(utc_normalize(spec.inner))
+    return spec  # IsNull / StartsWith / AlwaysTrue carry no datetime
+
+
+# ---------------------------------------------------------------------------
 # fluent builder: col("n_tok") > 5, col("source").isin(...), ...
 # ---------------------------------------------------------------------------
 

@@ -206,19 +206,24 @@ def encode_table_inline(
         _pin_worker_threads()
         import zlib
 
+        from pyspark import TaskContext
+
         got = list(batches)
         if not got:
             return
         tbl = pa.Table.from_batches(got)
         if sort_keys:
             tbl = tbl.sort_by(sort_keys)
+        # block_id = (task partition, local sequence): unique by
+        # construction — first-row salt hashes collide whenever sorted
+        # runs span blocks (ADVICE r1); the salt hash decides ONLY part_id
+        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
         rows = []
-        for block in _block_slices(tbl, specs, block_rows, max_values):
+        for seq, block in enumerate(_block_slices(tbl, specs, block_rows, max_values)):
             first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
             key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
-            h = zlib.crc32(key)
-            part_id = int(h % parts)
-            block_id = (int(zlib.crc32(key + b"#")) << 20) | (h & 0xFFFFF)
+            part_id = int(zlib.crc32(key) % parts)
+            block_id = (task_id << 24) | seq
             rows.append(
                 encode_block(specs, cluster_block_rows(specs, block), part_id, block_id)
             )
@@ -279,7 +284,10 @@ def encode_files_inline(
         import zlib
 
         import pyarrow.parquet as pq
+        from pyspark import TaskContext
 
+        task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        seq = 0
         for b in batches:
             for path in b.column(0).to_pylist():  # per input FILE
                 tbl = pq.read_table(path, columns=names)
@@ -289,15 +297,15 @@ def encode_files_inline(
                 for block in _block_slices(tbl, specs, block_rows, max_values):
                     first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
                     key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
-                    h = zlib.crc32(key)
                     rows.append(
                         encode_block(
                             specs,
                             cluster_block_rows(specs, block),
-                            int(h % parts),
-                            (int(zlib.crc32(key + b"#")) << 20) | (h & 0xFFFFF),
+                            int(zlib.crc32(key) % parts),
+                            (task_id << 24) | seq,
                         )
                     )
+                    seq += 1
                 yield from pa.Table.from_pylist(rows, schema=out_schema).to_batches()
 
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
@@ -321,7 +329,16 @@ def _decode_fn(specs: list[ColumnSpec], need: list[str], where=None):
 
         sub = [by_name[c] for c in ordered]
         for b in batches:
-            for row in b.to_pylist():  # one iteration per BLOCK, not per row
+            # Arrow-level access per BLOCK row: payload cells come out as
+            # zero-copy buffers, never as python bytes objects
+            cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            for i in range(b.num_rows):
+                row = {
+                    name: memoryview(col[i].as_buffer())
+                    if isinstance(col[i], pa.BinaryScalar) and col[i].is_valid
+                    else col[i].as_py()
+                    for name, col in cols.items()
+                }
                 if where is not None:
                     # exact row filter INSIDE the reader: surviving rows
                     # decode only the mini-block chunks they touch
@@ -350,7 +367,13 @@ def scan(
     if where is not None:
         blocks = blocks.filter(where.keep_blocks())
     payload_cols = [f"{c}__payload" for c in need]
-    decode, out_schema = _decode_fn(specs, need, where)
+    # the executor-side mask gets UTC-normalized datetime literals (the
+    # same instants F.lit produces), computed driver-side
+    from aisle_spark.filterspec import utc_normalize
+
+    decode, out_schema = _decode_fn(
+        specs, need, utc_normalize(where) if where is not None else None
+    )
     from aisle_spark.schema import _spark_type
     from pyspark.sql import types as T
 

@@ -2,9 +2,26 @@
 RowFilter (/root/reference/src/row_filter.rs:50-312): the same Spec AST
 that prunes blocks and builds the Catalyst residual also evaluates inside
 the decode UDF via pyarrow compute kernels (vectorized C++, Kleene
-null semantics, final NULL -> False like SQL WHERE)."""
+null semantics, final NULL -> False like SQL WHERE).
+
+Two places where pyarrow's IEEE semantics differ from Spark SQL's, both
+normalized here so the in-reader mask NEVER disagrees with the Catalyst
+residual (ADVICE r1):
+
+* floats — Spark orders NaN GREATER than every value and NaN == NaN;
+  IEEE kernels return false for every NaN comparison. ``_float_cmp``
+  rebuilds Spark's semantics from the IEEE kernel + ``is_nan``.
+* timestamps — PySpark's ``F.lit`` converts naive datetimes with
+  ``TimestampType.toInternal`` (DRIVER-process time zone). ``scan``
+  normalizes every datetime literal to its UTC instant driver-side
+  (``filterspec.utc_normalize``) before the Spec ships to executors, so
+  the ``pa.scalar(naive, tz='UTC')`` built here is the same instant the
+  Catalyst residual compares — executor-local time zones never matter.
+"""
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -33,18 +50,65 @@ _CMP_KERNELS = {
 }
 
 
+def _lit(v, typ: pa.DataType):
+    """Literal -> Arrow scalar. Naive datetimes are UTC instants by the
+    time they reach an executor (utc_normalize ran at scan time)."""
+    return pa.scalar(v, type=typ)
+
+
+def _is_nan_lit(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
+def _float_cmp(c, op: str, v: float):
+    """Spark SQL comparison semantics for floating columns: NaN is greater
+    than every other value and equal to itself. NULL propagates (Kleene)."""
+    nan = pc.is_nan(c)  # null rows stay null through is_nan (Kleene)
+    if _is_nan_lit(v):
+        null_ = pa.scalar(None, pa.bool_())
+        valid_true = pc.if_else(pc.is_valid(c), pa.scalar(True), null_)
+        valid_false = pc.if_else(pc.is_valid(c), pa.scalar(False), null_)
+        return {
+            "eq": nan,
+            "ne": pc.invert(nan),
+            "lt": pc.invert(nan),  # every non-NaN < NaN
+            "le": valid_true,  # everything <= NaN (NaN <= NaN too)
+            "gt": valid_false,  # nothing > NaN
+            "ge": nan,
+        }[op]
+    base = _CMP_KERNELS[op](c, pa.scalar(v, type=c.type))
+    if op in ("gt", "ge", "ne"):
+        return pc.or_kleene(base, nan)  # NaN > v (hence also != v)
+    return base  # eq/lt/le: IEEE false for NaN rows matches Spark
+
+
 def _eval(spec: Spec, batch: pa.RecordBatch) -> pa.Array:
     if isinstance(spec, Cmp):
         c = batch.column(spec.col)
-        return _CMP_KERNELS[spec.op](c, pa.scalar(spec.value, type=c.type))
+        if pa.types.is_floating(c.type):
+            return _float_cmp(c, spec.op, spec.value)
+        return _CMP_KERNELS[spec.op](c, _lit(spec.value, c.type))
     if isinstance(spec, Between):
         c = batch.column(spec.col)
+        if pa.types.is_floating(c.type):
+            return pc.and_kleene(
+                _float_cmp(c, "ge", spec.low), _float_cmp(c, "le", spec.high)
+            )
         return pc.and_kleene(
-            pc.greater_equal(c, pa.scalar(spec.low, type=c.type)),
-            pc.less_equal(c, pa.scalar(spec.high, type=c.type)),
+            pc.greater_equal(c, _lit(spec.low, c.type)),
+            pc.less_equal(c, _lit(spec.high, c.type)),
         )
     if isinstance(spec, InList):
         c = batch.column(spec.col)
+        if pa.types.is_floating(c.type):
+            vals = [v for v in spec.values if not _is_nan_lit(v)]
+            out = pc.is_in(c, value_set=pa.array(vals, type=c.type))
+            if len(vals) < len(spec.values):  # NaN literal in the list
+                out = pc.or_kleene(out, pc.is_nan(c))
+            return out
+        if pa.types.is_timestamp(c.type):
+            vs = [_lit(v, c.type) for v in spec.values]
+            return pc.is_in(c, value_set=pa.array([s.as_py() for s in vs], type=c.type))
         return pc.is_in(c, value_set=pa.array(list(spec.values), type=c.type))
     if isinstance(spec, IsNull):
         c = batch.column(spec.col)

@@ -47,6 +47,7 @@ def _session(master: str, shuffle: int):
         .appName("aisle-bench")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.driver.extraJavaOptions", "-Darrow.allocation.manager.type=Netty")

@@ -1,0 +1,100 @@
+"""Spark-semantics parity fixes from ADVICE r1: NaN ordering (Spark puts
+NaN above every value; NaN == NaN) and session-time-zone timestamp
+literals. Ground truth for every case is Spark's OWN filter over the raw
+DataFrame — the engine scan (prune -> decode -> in-reader mask ->
+residual) must return the identical row set."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyarrow as pa
+import pytest
+
+from aisle_spark.filterspec import col
+from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+NAN = float("nan")
+
+
+def _nan_df(spark):
+    rows = [
+        ("a", 1.0),
+        ("b", NAN),
+        ("c", -3.5),
+        ("d", None),
+        ("e", NAN),
+        ("f", 7.25),
+        ("g", 0.0),
+    ]
+    return spark.createDataFrame(rows, "k string, x double")
+
+
+NAN_SPECS = [
+    (col("x") > 2.0, "x > 2.0"),
+    (col("x") >= 7.25, "x >= 7.25"),
+    (col("x") < 2.0, "x < 2.0"),
+    (col("x") <= 0.0, "x <= 0.0"),
+    (col("x") == NAN, "x = double('nan')"),
+    (col("x") != 1.0, "x != 1.0"),
+    (col("x") > 100.0, "x > 100.0"),
+    (~(col("x") > 2.0), "NOT (x > 2.0)"),
+    (col("x").between(-10.0, 100.0), "x BETWEEN -10.0 AND 100.0"),
+    (col("x").isin(1.0, NAN), "x IN (1.0, double('nan'))"),
+]
+
+
+@pytest.mark.parametrize("spec,sql", NAN_SPECS, ids=[s for _, s in NAN_SPECS])
+def test_nan_predicates_match_spark(spark, spec, sql):
+    df = _nan_df(spark)
+    expected = sorted(r.k for r in df.filter(sql).collect())
+    blocks = encode_table(df, parts=1, block_rows=2)  # NaN isolated in blocks
+    got = sorted(
+        r.k for r in scan(blocks, arrow_schema_of(df), where=spec).collect()
+    )
+    assert got == expected, f"{sql}: engine {got} vs spark {expected}"
+
+
+def test_nan_block_stats_use_spark_ordering(spark):
+    """A block holding [small values + NaN] must be KEPT for x > v."""
+    df = spark.createDataFrame([("a", 1.0), ("b", NAN)], "k string, x double")
+    blocks = encode_table(df, parts=1, block_rows=4096)
+    kept = blocks.filter((col("x") > 5.0).keep_blocks()).count()
+    assert kept == 1  # NaN row matches x > 5.0 under Spark semantics
+
+
+def test_all_nan_block(spark):
+    df = spark.createDataFrame([("a", NAN), ("b", NAN)], "k string, x double")
+    blocks = encode_table(df, parts=1)
+    schema = arrow_schema_of(df)
+    assert scan(blocks, schema, where=col("x") == 3.0).count() == 0
+    assert scan(blocks, schema, where=col("x") > 3.0).count() == 2
+    out = scan(blocks, schema).collect()
+    assert all(math.isnan(r.x) for r in out)
+
+
+def test_timestamp_literals_respect_session_timezone(spark):
+    """With a non-UTC session tz, the in-reader mask must agree with the
+    Catalyst residual on naive datetime literals (ADVICE r1 medium)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = [
+            ("a", dt.datetime(2024, 1, 10, 3, 0, 0)),
+            ("b", dt.datetime(2024, 1, 10, 9, 30, 0)),
+            ("c", dt.datetime(2024, 1, 11, 0, 0, 0)),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        cut = dt.datetime(2024, 1, 10, 9, 0, 0)
+        expected = sorted(r.k for r in df.filter(df.ts > cut).collect())
+        blocks = encode_table(df, parts=1, block_rows=2)
+        got = sorted(
+            r.k
+            for r in scan(
+                blocks, arrow_schema_of(df), where=col("ts") > cut
+            ).collect()
+        )
+        assert got == expected == ["b", "c"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
