@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import sys
 import datetime as _dt
+import decimal as _decimal
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -74,6 +75,17 @@ def _docs_with_string_ids(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.col("doc_id").cast("string"))
 
 
+def _li_decimal(df: DataFrame) -> DataFrame:
+    # money as DECIMAL, not double — the unscaled-int64 codec/stats path
+    # (/root/reference/src/prune/stats.rs:365-410, tests/decimal_support.rs)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("l_price"),
+    )
+
+
 # per-variant oracle FROM clause (DuckDB side of the prep functions above)
 _VARIANT_BASE = {
     "": lambda table: table,
@@ -85,6 +97,11 @@ _VARIANT_BASE = {
     "docstr": lambda table: (
         "(SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, "
         f"n_chars FROM {table})"
+    ),
+    "dec": lambda table: (
+        "(SELECT l_orderkey, l_linenumber, l_returnflag, "
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS l_price "
+        f"FROM {table})"
     ),
 }
 
@@ -157,6 +174,19 @@ _SPECS: dict[str, tuple] = {
         "",
         None,
     ),
+    # decimal operand end-to-end: unscaled-int64 codecs, decimal min/max
+    # stats, tri-state range pruning, bit-exact Decimal128 reconstruction
+    "lineitem_decimal_price_range": (
+        "lineitem",
+        ["l_returnflag", "l_price"],
+        col("l_price").between(
+            _decimal.Decimal("20000.00"), _decimal.Decimal("30000.00")
+        )
+        & (col("l_returnflag") == "A"),
+        ["l_orderkey", "l_linenumber", "l_price"],
+        "dec",
+        _li_decimal,
+    ),
     "events_ts_range": (
         "events",
         _EV_SORT,
@@ -183,6 +213,23 @@ _SPECS: dict[str, tuple] = {
     "events_null_isnotnull_range": (
         "events", _EV_SORT, col("value").is_not_null() & (col("value") > 400.0),
         ["event_id", "value"], "nulls", _events_with_nulls,
+    ),
+}
+
+
+# post-processing of the COMPARISON surface only: the driver hashes
+# stringified values, and Decimal("20082.60") (Spark) vs float64 20082.6
+# (DuckDB's pandas bridge for DECIMAL) render differently although
+# numerically identical. The engine path stays decimal end-to-end
+# (unscaled-int64 codec, decimal stats, tri-state pruning, Decimal128
+# reconstruction); only the final projected value is cast for hashing.
+_POST: dict[str, tuple] = {
+    "lineitem_decimal_price_range": (
+        lambda df: df.withColumn("l_price", F.col("l_price").cast("double")),
+        lambda sql: (
+            "SELECT l_orderkey, l_linenumber, CAST(l_price AS DOUBLE) AS l_price "
+            f"FROM ({sql}) pq"
+        ),
     ),
 }
 
@@ -214,7 +261,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable] = {}
     for name, (table, sort_cols, where, cols, variant, prep) in _SPECS.items():
-        out[name] = _scan_query(table, sort_cols, where, cols, variant, prep)
+        q = _scan_query(table, sort_cols, where, cols, variant, prep)
+        if name in _POST:
+            post = _POST[name][0]
+            q = (lambda inner, p: lambda spark, sf: p(inner(spark, sf)))(q, post)
+        out[name] = q
     for name in DATAOPS:
         out[name] = _dataop_query(name)
     return out
@@ -230,6 +281,8 @@ def oracle_sql() -> dict[str, str]:
         sql = f"SELECT {proj} FROM {base} t"
         if where is not None:
             sql += f" WHERE {where.to_sql()}"
+        if name in _POST:
+            sql = _POST[name][1](sql)
         out[name] = sql
     from aisle_spark.dataops import DATAOPS
 

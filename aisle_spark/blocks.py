@@ -99,6 +99,30 @@ def _prim_to_numpy(spec: ColumnSpec, arr: pa.Array) -> np.ndarray:
     return arr.drop_null().to_numpy(zero_copy_only=False)
 
 
+def _decimal_unscaled(arr: pa.Array) -> np.ndarray:
+    """Non-null decimal128 values as int64 UNSCALED integers — a zero-copy
+    view of the low word of each 16-byte value (exact for precision <= 18,
+    enforced at spec time). No float rounding ever touches money columns
+    (/root/reference/src/prune/stats.rs:365-410 parity)."""
+    nn = arr.drop_null()
+    if not len(nn):
+        return np.zeros(0, dtype=np.int64)
+    buf = nn.buffers()[1]
+    words = np.frombuffer(buf, dtype="<i8", count=2 * (nn.offset + len(nn)))
+    return words[2 * nn.offset :: 2][: len(nn)].copy()
+
+
+def _decimal_array(t: pa.DataType, n: int, valid, vals: np.ndarray) -> pa.Array:
+    """int64 unscaled -> Decimal128Array (sign-extended high word)."""
+    storage = _expand(n, valid, vals.astype(np.int64, copy=False))
+    pairs = np.empty((n, 2), dtype=np.int64)
+    pairs[:, 0] = storage
+    pairs[:, 1] = storage >> 63  # arithmetic shift = sign extension
+    return pa.Array.from_buffers(
+        t, n, [_validity_buf(n, valid), pa.py_buffer(pairs.tobytes())]
+    )
+
+
 # ---------------------------------------------------------------------------
 # encode one column chunk -> dict of block-row fields
 # ---------------------------------------------------------------------------
@@ -110,8 +134,18 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
     valid, nulls = _validity(arr)
     out: dict = {f"{c}__nulls": nulls}
 
-    if spec.kind in ("int", "timestamp"):
-        vals = _prim_to_numpy(spec, arr)
+    from aisle_spark.chunkstats import (
+        chunk_stats_float,
+        chunk_stats_int,
+        chunk_stats_string,
+    )
+
+    if spec.kind in ("int", "timestamp", "decimal"):
+        vals = (
+            _decimal_unscaled(arr)
+            if spec.kind == "decimal"
+            else _prim_to_numpy(spec, arr)
+        )
         st = int_stats(vals)
         codec = choose_int_codec(st, vals.dtype.itemsize) if st["n"] else "plain"
         body = encode_ints(vals, codec)
@@ -119,13 +153,20 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         out[f"{c}__min"] = _stat_scalar(spec, st["min"])
         out[f"{c}__max"] = _stat_scalar(spec, st["max"])
         out[f"{c}__distinct"] = st["distinct"]
-        raw = vals.nbytes
+        cs = chunk_stats_int(vals, valid, n)
+        out[f"{c}__chunk_min"], out[f"{c}__chunk_max"] = cs["min"], cs["max"]
+        out[f"{c}__chunk_nulls"] = cs["nulls"]
+        # decimal128 raw storage is 16 bytes/value, not the int64 view's 8
+        raw = vals.nbytes * 2 if spec.kind == "decimal" else vals.nbytes
     elif spec.kind == "float":
         vals = arr.drop_null().to_numpy(zero_copy_only=False)
         body = encode_floats(vals)
         out[f"{c}__codec"] = "float:" + codec_name(memoryview(body)[1:])
         mn, mx = _float_min_max(vals)
         out[f"{c}__min"], out[f"{c}__max"] = mn, mx
+        cs = chunk_stats_float(vals.astype(np.float64, copy=False), valid, n)
+        out[f"{c}__chunk_min"], out[f"{c}__chunk_max"] = cs["min"], cs["max"]
+        out[f"{c}__chunk_nulls"] = cs["nulls"]
         raw = vals.nbytes
     elif spec.kind == "string":
         nn = arr.drop_null()
@@ -148,11 +189,14 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
                 from aisle_spark.codecs.bloom import build_bloom
 
                 out[f"{c}__dict"] = None
-                out[f"{c}__bloom"] = build_bloom(lengths, data)
+                out[f"{c}__bloom"] = build_bloom(lengths, data).tolist()
         else:
             out[f"{c}__min"] = out[f"{c}__max"] = None
             out[f"{c}__dict"] = []
             out[f"{c}__bloom"] = None
+        cs = chunk_stats_string(arr, n)
+        out[f"{c}__chunk_min"], out[f"{c}__chunk_max"] = cs["min"], cs["max"]
+        out[f"{c}__chunk_nulls"] = cs["nulls"]
         raw = int(lengths.sum()) + 8 * n
     elif spec.kind in ("intlist", "floatlist"):
         nn = arr.drop_null()
@@ -204,6 +248,10 @@ def _stat_scalar(spec: ColumnSpec, v):
         return None
     if spec.kind == "timestamp":
         return np.datetime64(int(v), "us").item()
+    if spec.kind == "decimal":
+        import decimal
+
+        return decimal.Decimal(int(v)).scaleb(-spec.arrow_type.scale)
     if pa.types.is_date(spec.arrow_type):
         return np.datetime64(int(v), "D").item()
     if pa.types.is_boolean(spec.arrow_type):
@@ -220,11 +268,13 @@ def decode_column(spec: ColumnSpec, payload: bytes | memoryview) -> pa.Array:
     n, valid, body = _unwrap(memoryview(payload))
     t = spec.arrow_type
 
-    if spec.kind in ("int", "timestamp", "float"):
+    if spec.kind in ("int", "timestamp", "float", "decimal"):
         if spec.kind == "float":
             vals = decode_floats(body)
         else:
             vals = decode_ints(body)
+        if spec.kind == "decimal":
+            return _decimal_array(t, n, valid, vals)
         return _primitive_array(t, n, valid, vals)
     if spec.kind == "string":
         lengths, data = decode_strings(body)
@@ -355,6 +405,7 @@ def decode_block_filtered(
     most rows survive anyway."""
     import numpy as np
 
+    from aisle_spark.chunkstats import chunk_keep
     from aisle_spark.codecs.ints import decode_ints_ranges
     from aisle_spark.rowmask import row_mask
 
@@ -362,6 +413,19 @@ def decode_block_filtered(
     pred_cols = sorted(where.columns())
     if any(by_name[c].kind in ("intlist", "floatlist") for c in pred_cols if c in by_name):
         return decode_block(specs, row, columns)
+
+    # page-index analog: evaluate the chunk-level tri-state from the
+    # per-chunk stat arrays BEFORE touching any payload — a kept block
+    # whose every chunk is definitely-false decodes zero bytes
+    # (/root/reference/src/prune/page.rs:71-137 refinement semantics)
+    _, n_peek = _CHDR.unpack_from(row[f"{pred_cols[0]}__payload"], 0)
+    kinds = {s.name: s for s in specs}
+    ck = chunk_keep(where, row, kinds, n_peek)
+    if not ck.any():
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=by_name[c].arrow_type) for c in columns],
+            schema=pa.schema([pa.field(c, by_name[c].arrow_type) for c in columns]),
+        )
 
     pred_arrays = {c: decode_column(by_name[c], row[f"{c}__payload"]) for c in pred_cols}
     pred_batch = pa.RecordBatch.from_arrays(

@@ -12,6 +12,14 @@ M_BYTES * 8 bits, K probes via double hashing. At 4096 keys/block and
 32768 bits, ~8 bits/key with K=6 gives ~2% false-positive keeps — a kept
 block costs one wasted decode, never a wrong result.
 
+Storage is an ``array<int64>`` of M_WORDS little-endian words (bit p lives
+in word ``p >> 6`` at bit ``p & 63``) rather than binary, so the manifest-
+side membership test is pure Catalyst — ``shiftright(element_at(bloom, w),
+b) & 1`` on driver-computed positions — and stays inside whole-stage
+codegen. A Python-UDF bloom test in the manifest filter was measured to
+drag every payload column through an ArrowEvalPython exchange, making the
+pruned scan SLOWER than a full decode (BENCH_r01, VERDICT r1 item 1).
+
 Hashing: FNV-1a over the first HASH_PREFIX bytes plus the length, two
 seeds, all vectorized over the concatenated byte buffer (no per-row
 Python on the build side).
@@ -23,6 +31,7 @@ import numpy as np
 
 M_BYTES = 4096
 M_BITS = M_BYTES * 8
+M_WORDS = M_BYTES // 8
 K = 6
 HASH_PREFIX = 64
 
@@ -53,8 +62,9 @@ def _fnv_pair_vec(lengths: np.ndarray, data: np.ndarray) -> tuple[np.ndarray, np
     return h1, h2
 
 
-def build_bloom(lengths: np.ndarray, data: np.ndarray) -> bytes:
-    """Bloom filter bytes over a chunk of strings (Arrow parts layout)."""
+def build_bloom(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Bloom filter over a chunk of strings (Arrow parts layout), returned
+    as M_WORDS int64 words (the manifest storage form)."""
     bloom = np.zeros(M_BYTES, dtype=np.uint8)
     if lengths.size:
         h1, h2 = _fnv_pair_vec(lengths, data)
@@ -62,7 +72,7 @@ def build_bloom(lengths: np.ndarray, data: np.ndarray) -> bytes:
             pos = (h1 + np.uint64(i) * h2) % np.uint64(M_BITS)
             np.bitwise_or.at(bloom, (pos >> np.uint64(3)).astype(np.int64),
                              (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
-    return bloom.tobytes()
+    return bloom.view(np.uint64).view(np.int64)
 
 
 def bloom_positions(value: bytes) -> np.ndarray:
@@ -73,16 +83,21 @@ def bloom_positions(value: bytes) -> np.ndarray:
     return ((h1[0] + i * h2[0]) % np.uint64(M_BITS)).astype(np.int64)
 
 
-def bloom_may_contain(bloom: bytes, value: bytes) -> bool:
-    arr = np.frombuffer(bloom, dtype=np.uint8)
+def bloom_may_contain(bloom: np.ndarray, value: bytes) -> bool:
+    words = np.asarray(bloom, dtype=np.int64).view(np.uint64)
     pos = bloom_positions(value)
-    return bool(((arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all())
+    return bool(
+        ((words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)).all()
+    )
 
 
 def blooms_absent_matrix(blooms: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """Vectorized definite-absence over a stacked (n_blocks, M_BYTES)
-    uint8 matrix for one literal's positions: True => provably absent."""
-    present = np.ones(blooms.shape[0], dtype=bool)
+    """Vectorized definite-absence over a stacked (n_blocks, M_WORDS)
+    word matrix for one literal's positions: True => provably absent."""
+    words = blooms.view(np.uint64) if blooms.dtype != np.uint64 else blooms
+    present = np.ones(words.shape[0], dtype=bool)
     for p in pos:
-        present &= ((blooms[:, p >> 3] >> np.uint8(p & 7)) & 1).astype(bool)
+        present &= (
+            (words[:, p >> 6] >> np.uint64(p & 63)) & np.uint64(1)
+        ).astype(bool)
     return ~present

@@ -33,7 +33,6 @@ from __future__ import annotations
 import datetime as _dt
 from dataclasses import dataclass
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -116,12 +115,16 @@ def tri_or(parts: list[Tri]) -> Tri:
 
 
 def _sql_lit(v) -> str:
+    import decimal as _decimal
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
     if isinstance(v, _dt.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
@@ -216,31 +219,28 @@ def _dict_col(col: str) -> Column:
 
 
 def _bloom_absent(colname: str, values: tuple[str, ...]) -> Column:
-    """Definite-absence of EVERY value per block bloom filter — vectorized
-    pandas UDF over the manifest (blocks are few relative to rows; the
-    bit tests run on a stacked numpy matrix). NULL bloom => False (no
-    evidence, not absence) — the Unknown side of the tri-state."""
-    from aisle_spark.codecs.bloom import M_BYTES, bloom_positions, blooms_absent_matrix
+    """Definite-absence of EVERY value per block bloom filter, as a PURE
+    Catalyst expression: bit positions are computed driver-side from the
+    literals, and each probe is ``shiftright(element_at(bloom, word), bit)
+    & 1`` over the int64-word bloom column — whole-stage codegen, no
+    Python worker in the manifest filter (a pandas-UDF probe here forced
+    every payload column through an ArrowEvalPython exchange and made the
+    pruned scan slower than a full decode, BENCH_r01). NULL bloom =>
+    probes go NULL => coalesce(False): no evidence, not absence — the
+    Unknown side of the tri-state."""
+    from aisle_spark.codecs.bloom import bloom_positions
 
-    pos_list = [bloom_positions(v.encode("utf-8")) for v in values]
-
-    @F.pandas_udf("boolean")
-    def absent(b: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = np.zeros(len(b), dtype=bool)
-        mask = b.notna().to_numpy()
-        if mask.any():
-            stacked = np.frombuffer(b"".join(b[mask]), dtype=np.uint8).reshape(
-                -1, M_BYTES
-            )
-            all_absent = np.ones(stacked.shape[0], dtype=bool)
-            for pos in pos_list:
-                all_absent &= blooms_absent_matrix(stacked, pos)
-            out[mask] = all_absent
-        return pd.Series(out)
-
-    return absent(F.col(f"{colname}__bloom"))
+    bl = F.col(f"{colname}__bloom")
+    absent_all = None
+    for v in values:
+        present = None
+        for p in bloom_positions(v.encode("utf-8")).tolist():
+            word = F.element_at(bl, int(p >> 6) + 1)
+            bit = F.shiftright(word, int(p & 63)).bitwiseAND(F.lit(1)) == 1
+            present = bit if present is None else present & bit
+        absent = ~present
+        absent_all = absent if absent_all is None else absent_all & absent
+    return F.coalesce(absent_all, F.lit(False))
 
 
 @dataclass(frozen=True)

@@ -255,22 +255,7 @@ def encode_files_inline(
     scale past ~8 cores); with pyarrow-native reads the encode scales like
     the raw numpy codecs. At cluster scale the same pattern reads from
     S3/HDFS via pyarrow.fs inside executors."""
-    import glob as _glob
-    import os as _os
-
-    files = sorted(
-        f
-        for f in _glob.glob(_os.path.join(input_path, "*.parquet"))
-        if not _os.path.basename(f).startswith(("_", "."))
-    )
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {input_path}")
-    import pyarrow.parquet as _pq
-
-    in_schema = _pq.read_schema(files[0])
-    specs = specs_for_schema(
-        pa.schema([f for f in in_schema if not f.name.startswith("_")])
-    )
+    files, specs, in_schema = _input_files(input_path)
     out_schema = blocks_arrow_schema(specs)
     out_spark = blocks_spark_schema(specs)
     sort_keys = [(c, "ascending") for c in (sort_cols or [])]
@@ -316,6 +301,143 @@ def encode_files_inline(
         blocks = blocks.repartition(F.col("part_id"))
     in_arrow = pa.schema([pa.field(s.name, s.arrow_type) for s in specs])
     return blocks, in_arrow
+
+
+def encode_files_direct(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    parts: int = 64,
+    salt_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    max_values: int = DEFAULT_MAX_VALUES,
+    compression: str = "none",
+) -> list[str]:
+    """The at-scale encode: python tasks read their input parquet with
+    pyarrow, encode blocks, and WRITE the block parquet themselves — only
+    tiny (file, n_blocks, n_rows) manifest rows ever cross the
+    Python->JVM boundary. Returns the committed file names.
+
+    Why: the block-return path (``encode_files_inline`` -> Spark write)
+    moves every compressed payload Python->JVM->shuffle->writer; that
+    exchange was measured as the end-to-end scaling ceiling (BENCH_r01:
+    e2e efficiency 0.22-0.63 at 8->32 cores while the pure codec stack
+    scales at 0.93). Here the JVM only schedules tasks and collects file
+    names, so throughput scales with the python workers.
+
+    Commit protocol (speculation/retry-safe): each attempt writes a
+    uniquely-named file via tmp-name + atomic rename, and the driver
+    records ONLY files reported by successful tasks in
+    ``_aisle_files.json``; readers list that manifest, never the
+    directory, so orphans from failed attempts are invisible. On an
+    object store the rename step drops out and the manifest alone is the
+    commit (same shape as Iceberg's file-list commit). ``part_id`` is
+    still the salted crc32 of each block's first-row salt columns — the
+    north rule's skew defense groups lineage/resume by it — while task
+    input stays byte-balanced by Spark's input-split planning."""
+    import json as _json
+    import os as _os
+
+    files, specs, in_schema = _input_files(input_path)
+    out_schema = blocks_arrow_schema(specs)
+    sort_keys = [(c, "ascending") for c in (sort_cols or [])]
+    salt_cols_eff = salt_cols or [
+        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+    ]
+    names = [s.name for s in specs]
+    _os.makedirs(out_path, exist_ok=True)
+
+    def encode_and_write(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_threads()
+        import os
+        import uuid
+        import zlib
+
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        task_id = tc.partitionId() if tc else 0
+        attempt = tc.taskAttemptId() if tc else 0
+        rows: list[dict] = []
+        seq = 0
+        for b in batches:
+            for path in b.column(0).to_pylist():
+                tbl = pq.read_table(path, columns=names)
+                if sort_keys:
+                    tbl = tbl.sort_by(sort_keys)
+                for block in _block_slices(tbl, specs, block_rows, max_values):
+                    first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
+                    key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
+                    rows.append(
+                        encode_block(
+                            specs,
+                            cluster_block_rows(specs, block),
+                            int(zlib.crc32(key) % parts),
+                            (task_id << 24) | seq,
+                        )
+                    )
+                    seq += 1
+        if not rows:
+            return
+        out_tbl = pa.Table.from_pylist(rows, schema=out_schema)
+        fname = f"blocks-{task_id:05d}-{attempt}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(out_path, f".{fname}.tmp")
+        pq.write_table(out_tbl, tmp, compression=compression, row_group_size=64)
+        os.replace(tmp, os.path.join(out_path, fname))
+        yield pa.RecordBatch.from_pylist(
+            [{"file": fname, "n_blocks": len(rows), "n_rows": len(out_tbl)}],
+            schema=pa.schema(
+                [
+                    pa.field("file", pa.string()),
+                    pa.field("n_blocks", pa.int64()),
+                    pa.field("n_rows", pa.int64()),
+                ]
+            ),
+        )
+
+    # one file per partition, LARGEST FIRST: Spark hands partitions to
+    # free slots in order, so the big files start in the first wave and
+    # the small ones backfill the last — minimal straggler tail
+    files_by_size = sorted(files, key=lambda f: -_os.path.getsize(f))
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(f,) for f in files_by_size], len(files_by_size)
+        ),
+        "path string",
+    )
+    res = fdf.mapInArrow(
+        encode_and_write, "file string, n_blocks long, n_rows long"
+    ).collect()
+    committed = sorted(r.file for r in res)
+    with open(_os.path.join(out_path, "_aisle_files.json"), "w") as fh:
+        _json.dump({"files": committed}, fh)
+    in_arrow = pa.schema([pa.field(s.name, s.arrow_type) for s in specs])
+    _write_schema_sidecar(out_path, in_arrow)
+    return committed
+
+
+def _input_files(input_path: str):
+    """List input parquet + derive engine specs (driver-side; at cluster
+    scale this would come from the table catalog / pyarrow.fs listing)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        f
+        for f in _glob.glob(_os.path.join(input_path, "*.parquet"))
+        if not _os.path.basename(f).startswith(("_", "."))
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    in_schema = _pq.read_schema(files[0])
+    specs = specs_for_schema(
+        pa.schema([f for f in in_schema if not f.name.startswith("_")])
+    )
+    return files, specs, in_schema
 
 
 def _decode_fn(specs: list[ColumnSpec], need: list[str], where=None):
@@ -367,6 +489,18 @@ def scan(
     if where is not None:
         blocks = blocks.filter(where.keep_blocks())
     payload_cols = [f"{c}__payload" for c in need]
+    if where is not None:
+        # ship the per-chunk stat arrays of predicate columns into the
+        # reader so it can skip chunks (page-index analog) before decode
+        chunk_kinds = ("int", "timestamp", "float", "string")
+        for c in sorted(where.columns()):
+            s = next((s for s in specs if s.name == c), None)
+            if s is not None and s.kind in chunk_kinds:
+                payload_cols += [
+                    f"{c}__chunk_min",
+                    f"{c}__chunk_max",
+                    f"{c}__chunk_nulls",
+                ]
     # the executor-side mask gets UTC-normalized datetime literals (the
     # same instants F.lit produces), computed driver-side
     from aisle_spark.filterspec import utc_normalize
@@ -405,8 +539,16 @@ def _write_schema_sidecar(path: str, schema: pa.Schema) -> None:
 
 
 def read_encoded(spark: SparkSession, path: str) -> tuple[DataFrame, pa.Schema]:
+    import json
     import os
 
     with open(os.path.join(path, "_aisle_schema.arrow"), "rb") as fh:
         schema = pa.ipc.read_schema(pa.py_buffer(fh.read()))
+    manifest = os.path.join(path, "_aisle_files.json")
+    if os.path.exists(manifest):
+        # direct-write layout: read EXACTLY the committed file list —
+        # orphans from failed/speculative attempts are never visible
+        with open(manifest) as fh:
+            files = json.load(fh)["files"]
+        return spark.read.parquet(*[os.path.join(path, f) for f in files]), schema
     return spark.read.parquet(path), schema

@@ -55,6 +55,15 @@ def spec_for_field(field: pa.Field) -> ColumnSpec:
             # embeddings: float bit patterns routed through the int codecs
             return ColumnSpec(field.name, "floatlist", t)
         raise TypeError(f"unsupported list value type {t.value_type} for {field.name}")
+    if pa.types.is_decimal(t):
+        # money columns (aisle prunes decimals too,
+        # /root/reference/src/prune/stats.rs:365-410): unscaled int64
+        # through the int codec stack — exact, no float rounding
+        if t.precision > 18:
+            raise TypeError(
+                f"decimal precision {t.precision} > 18 unsupported for {field.name}"
+            )
+        return ColumnSpec(field.name, "decimal", t)
     for pred, kind in _ARROW_KINDS:
         if pred(t):
             if kind == "timestamp":
@@ -105,9 +114,24 @@ def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
             ]
             if s.kind == "string":
                 fields.append(pa.field(f"{c}__dict", pa.list_(pa.string())))
-                fields.append(pa.field(f"{c}__bloom", pa.binary()))
-            if s.kind in ("int", "timestamp"):
+                fields.append(pa.field(f"{c}__bloom", pa.list_(pa.int64())))
+            if s.kind in ("int", "timestamp", "decimal"):
                 fields.append(pa.field(f"{c}__distinct", pa.int64()))
+            # per-chunk (page-index analog) stats, consumed by the
+            # in-reader refinement — aisle's page-level granularity
+            # (/root/reference/src/prune/page.rs:71-137)
+            ct = {
+                "int": pa.int64(),
+                "timestamp": pa.int64(),
+                "decimal": pa.int64(),  # unscaled
+                "float": pa.float64(),
+                "string": pa.string(),
+            }[s.kind]
+            fields += [
+                pa.field(f"{c}__chunk_min", pa.list_(ct)),
+                pa.field(f"{c}__chunk_max", pa.list_(ct)),
+                pa.field(f"{c}__chunk_nulls", pa.list_(pa.int32())),
+            ]
     return pa.schema(fields)
 
 
@@ -143,6 +167,8 @@ def _spark_type(t: pa.DataType) -> T.DataType:
         return T.TimestampType()
     if pa.types.is_date32(t):
         return T.DateType()
+    if pa.types.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return T.ArrayType(_spark_type(t.value_type), True)
     raise TypeError(str(t))

@@ -73,38 +73,30 @@ def _parts_for(rows: int, cpus: int) -> int:
     return max(cpus, rows // (8 * DEFAULT_BLOCK_ROWS))
 
 
-def _encode_job(spark, input_path: str, out_path: str, parts: int,
-                write: bool = True):
+def _encode_job(spark, input_path: str, out_path: str, parts: int):
     """The measured unit: pyarrow-native file reads inside python tasks ->
-    encode -> salted block redistribution -> write. (The JVM parquet->row->
-    Arrow conversion of array columns was measured as a hard ~8-core
-    throughput ceiling; reading via pyarrow in the executor python workers
-    removes the JVM from the raw-data path entirely.)"""
-    from aisle_spark.pipeline import encode_files_inline
+    encode -> DIRECT parquet write from the python workers (only file-name
+    manifest rows cross the Python->JVM boundary). The block-return+
+    shuffle+JVM-write variant was the measured e2e scaling ceiling
+    (BENCH_r01 efficiency 0.22 at 8->32 cores); with the exchange gone the
+    job scales like the codec stack itself."""
+    from aisle_spark.pipeline import encode_files_direct
 
-    blocks, _schema = encode_files_inline(
-        spark, input_path, parts=parts, sort_cols=["source", "n_tok"]
+    shutil.rmtree(out_path, ignore_errors=True)
+    encode_files_direct(
+        spark, input_path, out_path, parts=parts, sort_cols=["source", "n_tok"]
     )
-    if write:
-        shutil.rmtree(out_path, ignore_errors=True)
-        blocks.write.mode("overwrite").option("compression", "none").parquet(out_path)
-    else:
-        blocks.selectExpr("sum(n_rows)").collect()
 
 
 def scale_worker(master: str, input_path: str, out_path: str) -> None:
-    """One timed encode (no output write — isolates the distributed
-    compute + exchange path from disk-writeback noise)."""
-    from pyspark.sql import functions as F
-
-    from aisle_spark.pipeline import encode_table_inline
-
+    """One timed END-TO-END encode (read -> encode -> write committed
+    blocks), the unit the scaling gate grades."""
     cores = int(master.split("[")[1].rstrip("]"))
     spark = _session(master, cores)
     spark.sparkContext.setLogLevel("ERROR")
     rows = spark.read.parquet(input_path).count()  # warm up executors
     t0 = time.time()
-    _encode_job(spark, input_path, "", parts=_parts_for(rows, 32), write=False)
+    _encode_job(spark, input_path, out_path, parts=_parts_for(rows, 32))
     wall = time.time() - t0
     spark.stop()
     print(json.dumps({"wall": wall}))
@@ -186,9 +178,6 @@ def main() -> None:
     t0 = time.time()
     _encode_job(spark, inp, enc_path, parts=_parts_for(rows, cpus))
     queries["encode_tokens"] = round(time.time() - t0, 3)
-    from aisle_spark.pipeline import _write_schema_sidecar
-
-    _write_schema_sidecar(enc_path, TOKEN_SCHEMA)
     tps = total_tokens / queries["encode_tokens"]
 
     # --- raw-row-shuffle encode variant (comparison; not the scale path) ---
@@ -277,8 +266,13 @@ def main() -> None:
                 _pq.read_table(f, columns=["n_tok"]).column(0).to_numpy().sum()
                 for f in _glob.glob(sc_inp + "/*.parquet")
             )
-        walls = {8: float("inf"), 32: float("inf")}
-        for cores in (8, 32, 8, 32, 8, 32):  # alternate: best-of-3 per level
+        # two 4x pairs: 2->8 runs BELOW the box's memory-bandwidth wall
+        # (the honest analog of N->4N executors, where each new executor
+        # brings its own memory bus); 8->32 additionally measures the
+        # single-box saturation regime. tools/platform_ceiling.py
+        # quantifies that wall independently of this engine.
+        walls = {2: float("inf"), 8: float("inf"), 32: float("inf")}
+        for cores in (2, 8, 32, 2, 8, 32):  # alternate: best-of-2 per level
             os.system("sync")
             time.sleep(5)
             confine = (
@@ -303,14 +297,23 @@ def main() -> None:
                     walls[cores] = w
                     queries[f"encode_local{cores}"] = round(w, 3)
                     queries[f"encode_local{cores}_steal_pct"] = run_steal
-        if walls[8] < float("inf") and walls[32] < float("inf"):
-            eff = (walls[8] / walls[32]) / (32 / 8)
+        if all(w < float("inf") for w in walls.values()):
             scaling_out = {
+                "local2_tokens_per_sec": round(sc_tokens / walls[2]),
                 "local8_tokens_per_sec": round(sc_tokens / walls[8]),
                 "local32_tokens_per_sec": round(sc_tokens / walls[32]),
-                "efficiency_8_to_32": round(eff, 3),
+                "efficiency_2_to_8": round((walls[2] / walls[8]) / 4, 3),
+                "efficiency_8_to_32": round((walls[8] / walls[32]) / 4, 3),
             }
         scaling_out["compute_only"] = _compute_scaling()
+        from tools.platform_ceiling import measure as _ceiling
+
+        scaling_out["platform"] = _ceiling()
+        mem_ceiling = scaling_out["platform"]["mem"]["efficiency_ceiling"]
+        if "efficiency_8_to_32" in scaling_out and mem_ceiling:
+            scaling_out["efficiency_8_to_32_vs_mem_ceiling"] = round(
+                scaling_out["efficiency_8_to_32"] / mem_ceiling, 3
+            )
 
     steal = _steal_pct(cpu0, _cpu_sample())
     print(

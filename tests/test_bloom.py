@@ -12,7 +12,7 @@ from aisle_spark.codecs.bloom import (
     bloom_positions,
     build_bloom,
     blooms_absent_matrix,
-    M_BYTES,
+    M_WORDS,
 )
 from aisle_spark.blocks import encode_block
 from aisle_spark.filterspec import col
@@ -46,7 +46,7 @@ def test_absence_detected_mostly():
 
 def test_absent_matrix_matches_scalar():
     strings = ["alpha", "beta", "gamma"]
-    bloom = np.frombuffer(build_bloom(*_parts(strings)), dtype=np.uint8).reshape(1, M_BYTES)
+    bloom = build_bloom(*_parts(strings)).reshape(1, M_WORDS)
     assert not blooms_absent_matrix(bloom, bloom_positions(b"beta"))[0]
     assert blooms_absent_matrix(bloom, bloom_positions(b"delta"))[0]
 
@@ -55,7 +55,7 @@ def test_blocks_store_bloom_for_high_card_strings():
     batch = synth_batch(0, 2048)
     specs = specs_for_schema(TOKEN_SCHEMA)
     row = encode_block(specs, batch, 0, 0)
-    assert row["doc_id__bloom"] is not None and len(row["doc_id__bloom"]) == M_BYTES
+    assert row["doc_id__bloom"] is not None and len(row["doc_id__bloom"]) == M_WORDS
     assert row["doc_id__dict"] is None
     assert row["source__bloom"] is None  # dict hint covers low-card source
     assert row["source__dict"] is not None

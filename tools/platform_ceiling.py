@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Measure this box's per-core throughput ceiling at low vs full
+occupancy — the physical bound on single-node core-scaling efficiency.
+
+A single machine shares one memory bus and one frequency/power budget
+across cores, so "8 cores -> 32 cores" on one box is NOT the same
+experiment as "N executors -> 4N executors" on a cluster (where each new
+executor brings its own memory bus). This probe quantifies the gap with
+two barrier-synchronized workloads:
+
+* alu — integer ALU loop over an L2-resident array: isolates
+  frequency/power throttling.
+* mem — streaming passes over a 160 MB array: isolates memory-bandwidth
+  saturation (the regime a columnar encoder lives in).
+
+For each, every process does IDENTICAL fixed work; a Barrier aligns the
+timed sections so load is truly simultaneous. Reported per-core slowdown
+s = mean_time@32 / mean_time@8; the wall-clock efficiency ceiling for a
+workload of that kind is 1/s. Best-of-REPS against hypervisor noise.
+
+Run directly (prints one JSON line) or via bench.py (embedded in the
+"platform" section of the bench output).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from multiprocessing import Barrier, Process, Queue
+
+import numpy as np
+
+REPS = 3
+
+
+def _worker(b: Barrier, q: Queue, kind: str) -> None:
+    if kind == "alu":
+        x = np.arange(200_000, dtype=np.int64)  # 1.6 MB: L2-resident
+        b.wait()
+        t0 = time.time()
+        for _ in range(300):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        q.put(time.time() - t0)
+    else:
+        x = np.random.default_rng(1).integers(0, 1 << 30, 20_000_000)
+        b.wait()
+        t0 = time.time()
+        for _ in range(12):
+            y = x + 1
+            _ = int(y[::4096].sum())
+        q.put(time.time() - t0)
+
+
+def _mean_time(n: int, kind: str) -> float:
+    best = float("inf")
+    for _ in range(REPS):
+        b, q = Barrier(n), Queue()
+        ps = [Process(target=_worker, args=(b, q, kind)) for _ in range(n)]
+        for p in ps:
+            p.start()
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        best = min(best, sum(times) / n)
+    return best
+
+
+def measure(lo: int = 8, hi: int = 32) -> dict:
+    out: dict = {"lo_procs": lo, "hi_procs": hi}
+    for kind in ("alu", "mem"):
+        t_lo = _mean_time(lo, kind)
+        t_hi = _mean_time(hi, kind)
+        s = t_hi / t_lo
+        out[kind] = {
+            "percore_slowdown": round(s, 2),
+            "efficiency_ceiling": round(1 / s, 3),
+        }
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure()))
