@@ -75,6 +75,19 @@ def _docs_with_string_ids(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.col("doc_id").cast("string"))
 
 
+def _docs_with_struct(df: DataFrame) -> DataFrame:
+    # nested dotted-path predicates (/root/reference/src/compile.rs:369-518,
+    # tests/prune_nested.rs): metadata as a struct column, with NULL
+    # structs injected so the __defined leaf faces real nulls
+    return df.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("n_chars") % 17 == 0, None)
+        .otherwise(F.struct(F.col("lang"), F.col("source")))
+        .alias("meta"),
+    )
+
+
 def _li_decimal(df: DataFrame) -> DataFrame:
     # money as DECIMAL, not double — the unscaled-int64 codec/stats path
     # (/root/reference/src/prune/stats.rs:365-410, tests/decimal_support.rs)
@@ -101,6 +114,12 @@ _VARIANT_BASE = {
     "dec": lambda table: (
         "(SELECT l_orderkey, l_linenumber, l_returnflag, "
         "CAST(l_extendedprice AS DECIMAL(12,2)) AS l_price "
+        f"FROM {table})"
+    ),
+    "struct": lambda table: (
+        "(SELECT doc_id, n_chars, "
+        "CASE WHEN n_chars % 17 = 0 THEN NULL "
+        "ELSE struct_pack(lang := lang, source := source) END AS meta "
         f"FROM {table})"
     ),
 }
@@ -173,6 +192,18 @@ _SPECS: dict[str, tuple] = {
         ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"],
         "",
         None,
+    ),
+    # nested dotted-path predicate over a struct column: leaf stats/dict/
+    # bloom prune on meta.lang, residual is Spark-native nested access
+    # (projection stays scalar — struct rendering differs between the
+    # Spark and DuckDB pandas bridges, values are what's compared)
+    "scan_nested_struct_eq": (
+        "documents",
+        ["meta.lang", "n_chars"],
+        (col("meta.lang") == "en") & (col("n_chars") > 300),
+        ["doc_id", "n_chars"],
+        "struct",
+        _docs_with_struct,
     ),
     # decimal operand end-to-end: unscaled-int64 codecs, decimal min/max
     # stats, tri-state range pruning, bit-exact Decimal128 reconstruction

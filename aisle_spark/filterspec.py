@@ -187,20 +187,27 @@ class Spec:
         raise NotImplementedError
 
 
+def _sc(name: str) -> Column:
+    """Stats-column reference, dot-safe: nested leaves are stored under
+    dotted flat names ('meta.lang__min'), which F.col would otherwise
+    parse as struct access — backticks force a literal lookup."""
+    return F.col(f"`{name}`")
+
+
 def _stats(col: str):
     return (
-        F.col(f"{col}__min"),
-        F.col(f"{col}__max"),
-        F.coalesce(F.col(f"{col}__nulls"), F.lit(0)),
+        _sc(f"{col}__min"),
+        _sc(f"{col}__max"),
+        F.coalesce(_sc(f"{col}__nulls"), F.lit(0)),
         F.col("n_rows").cast("long"),
     )
 
 
 def _raw_stats(col: str):
     return (
-        F.col(f"{col}__min"),
-        F.col(f"{col}__max"),
-        F.col(f"{col}__nulls"),
+        _sc(f"{col}__min"),
+        _sc(f"{col}__max"),
+        _sc(f"{col}__nulls"),
         F.col("n_rows").cast("long"),
     )
 
@@ -215,7 +222,7 @@ def _or_null(cmp: Column, *operands: Column) -> Column:
 
 
 def _dict_col(col: str) -> Column:
-    return F.col(f"{col}__dict")
+    return _sc(f"{col}__dict")
 
 
 def _bloom_absent(colname: str, values: tuple[str, ...]) -> Column:
@@ -230,7 +237,7 @@ def _bloom_absent(colname: str, values: tuple[str, ...]) -> Column:
     Unknown side of the tri-state."""
     from aisle_spark.codecs.bloom import bloom_positions
 
-    bl = F.col(f"{colname}__bloom")
+    bl = _sc(f"{colname}__bloom")
     absent_all = None
     for v in values:
         present = None
@@ -452,7 +459,7 @@ class IsNull(Spec):
 
     def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
         _, _, nulls_raw, nrows = _stats(self.col)
-        nulls = F.col(f"{self.col}__nulls")  # keep NULL-able: missing stats => Unknown
+        nulls = _sc(f"{self.col}__nulls")  # keep NULL-able: missing stats => Unknown
         t = nulls == nrows
         f = nulls == 0
         if self.negated:
@@ -460,14 +467,14 @@ class IsNull(Spec):
         return Tri(_c(t), _c(f))
 
     def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
-        nulls = F.col(f"{self.col}__nulls")
+        nulls = _sc(f"{self.col}__nulls")
         nrows = F.col("n_rows").cast("long")
         if self.negated:  # prune iff nulls == n_rows (all null)
             return _or_null(nulls != nrows, nulls)
         return _or_null(nulls != 0, nulls)  # prune iff no nulls at all
 
     def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
-        nulls = F.col(f"{self.col}__nulls")
+        nulls = _sc(f"{self.col}__nulls")
         nrows = F.col("n_rows").cast("long")
         if self.negated:
             return _or_null(nulls != 0, nulls)

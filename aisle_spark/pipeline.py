@@ -38,8 +38,11 @@ from aisle_spark.blocks import cluster_block_rows, decode_block, encode_block
 from aisle_spark.filterspec import Spec
 from aisle_spark.schema import (
     ColumnSpec,
+    assemble_struct,
     blocks_arrow_schema,
     blocks_spark_schema,
+    flatten_table,
+    leaves_under,
     specs_for_schema,
 )
 
@@ -130,7 +133,9 @@ def with_part_id(
     length — the explicit skew defense of the north rule."""
     specs = specs_for_schema(arrow_schema_of(df))
     salt_cols = salt_cols or [
-        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+        s.name
+        for s in specs
+        if s.kind in ("string", "int", "timestamp") and "." not in s.name
     ]
     return df.withColumn(
         "part_id",
@@ -155,7 +160,7 @@ def encode_salted(
     def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
         _pin_worker_threads()
         part_id = int(key[0].as_py())
-        tbl = tbl.drop_columns(["part_id"])
+        tbl = flatten_table(tbl.drop_columns(["part_id"]))
         if sort_keys:
             tbl = tbl.sort_by(sort_keys)
         rows = []
@@ -199,7 +204,9 @@ def encode_table_inline(
     out_spark = blocks_spark_schema(specs)
     sort_keys = [(c, "ascending") for c in (sort_cols or [])]
     salt_cols_eff = salt_cols or [
-        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+        s.name
+        for s in specs
+        if s.kind in ("string", "int", "timestamp") and "." not in s.name
     ]
 
     def encode_split(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -211,7 +218,7 @@ def encode_table_inline(
         got = list(batches)
         if not got:
             return
-        tbl = pa.Table.from_batches(got)
+        tbl = flatten_table(pa.Table.from_batches(got))
         if sort_keys:
             tbl = tbl.sort_by(sort_keys)
         # block_id = (task partition, local sequence): unique by
@@ -260,9 +267,12 @@ def encode_files_inline(
     out_spark = blocks_spark_schema(specs)
     sort_keys = [(c, "ascending") for c in (sort_cols or [])]
     salt_cols_eff = salt_cols or [
-        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+        s.name
+        for s in specs
+        if s.kind in ("string", "int", "timestamp") and "." not in s.name
     ]
-    names = [s.name for s in specs]
+    # pyarrow reads the ORIGINAL top-level columns; structs flatten after
+    names = [f.name for f in in_schema if not f.name.startswith("_")]
 
     def encode_file(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_threads()
@@ -275,7 +285,7 @@ def encode_files_inline(
         seq = 0
         for b in batches:
             for path in b.column(0).to_pylist():  # per input FILE
-                tbl = pq.read_table(path, columns=names)
+                tbl = flatten_table(pq.read_table(path, columns=names))
                 if sort_keys:
                     tbl = tbl.sort_by(sort_keys)
                 rows = []
@@ -343,9 +353,12 @@ def encode_files_direct(
     out_schema = blocks_arrow_schema(specs)
     sort_keys = [(c, "ascending") for c in (sort_cols or [])]
     salt_cols_eff = salt_cols or [
-        s.name for s in specs if s.kind in ("string", "int", "timestamp")
+        s.name
+        for s in specs
+        if s.kind in ("string", "int", "timestamp") and "." not in s.name
     ]
-    names = [s.name for s in specs]
+    # pyarrow reads the ORIGINAL top-level columns; structs flatten after
+    names = [f.name for f in in_schema if not f.name.startswith("_")]
     _os.makedirs(out_path, exist_ok=True)
 
     def encode_and_write(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -364,7 +377,7 @@ def encode_files_direct(
         seq = 0
         for b in batches:
             for path in b.column(0).to_pylist():
-                tbl = pq.read_table(path, columns=names)
+                tbl = flatten_table(pq.read_table(path, columns=names))
                 if sort_keys:
                     tbl = tbl.sort_by(sort_keys)
                 for block in _block_slices(tbl, specs, block_rows, max_values):
@@ -413,7 +426,9 @@ def encode_files_direct(
     committed = sorted(r.file for r in res)
     with open(_os.path.join(out_path, "_aisle_files.json"), "w") as fh:
         _json.dump({"files": committed}, fh)
-    in_arrow = pa.schema([pa.field(s.name, s.arrow_type) for s in specs])
+    # sidecar records the ORIGINAL (possibly nested) schema — scan derives
+    # the flat leaf specs from it
+    in_arrow = pa.schema([f for f in in_schema if not f.name.startswith("_")])
     _write_schema_sidecar(out_path, in_arrow)
     return committed
 
@@ -440,10 +455,21 @@ def _input_files(input_path: str):
     return files, specs, in_schema
 
 
-def _decode_fn(specs: list[ColumnSpec], need: list[str], where=None):
-    out_schema = pa.schema([pa.field(s.name, s.arrow_type) for s in specs if s.name in need])
+def _decode_fn(specs: list[ColumnSpec], flat_need: list[str], plan: list, where=None):
+    """``plan`` entries: ("leaf", name) or ("struct", top_field, needed
+    leaf set) — struct outputs are reassembled from decoded flat leaves
+    (nested dotted-path support, /root/reference/src/compile.rs:369-518)."""
     by_name = {s.name: s for s in specs}
-    ordered = [s.name for s in specs if s.name in need]
+    ordered = [s.name for s in specs if s.name in flat_need]
+    out_fields = []
+    for entry in plan:
+        if entry[0] == "leaf":
+            out_fields.append(pa.field(entry[1], by_name[entry[1]].arrow_type))
+        else:
+            _, fld, needed = entry
+            # partial struct type mirrors what assemble_struct will build
+            out_fields.append(pa.field(fld.name, _partial_struct_type(fld, "", needed)))
+    out_schema = pa.schema(out_fields)
 
     def decode(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_threads()
@@ -452,8 +478,13 @@ def _decode_fn(specs: list[ColumnSpec], need: list[str], where=None):
         sub = [by_name[c] for c in ordered]
         for b in batches:
             # Arrow-level access per BLOCK row: payload cells come out as
-            # zero-copy buffers, never as python bytes objects
-            cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            # zero-copy buffers, never as python bytes objects. Names were
+            # dot-mangled for the mapInArrow exchange (Spark re-resolves
+            # plain column names and would parse '.' as struct access).
+            cols = {
+                name.replace("__dot__", "."): b.column(i)
+                for i, name in enumerate(b.schema.names)
+            }
             for i in range(b.num_rows):
                 row = {
                     name: memoryview(col[i].as_buffer())
@@ -464,11 +495,42 @@ def _decode_fn(specs: list[ColumnSpec], need: list[str], where=None):
                 if where is not None:
                     # exact row filter INSIDE the reader: surviving rows
                     # decode only the mini-block chunks they touch
-                    yield decode_block_filtered(sub, row, ordered, where)
+                    flat = decode_block_filtered(sub, row, ordered, where)
                 else:
-                    yield decode_block(sub, row, ordered)
+                    flat = decode_block(sub, row, ordered)
+                if all(e[0] == "leaf" for e in plan) and [
+                    e[1] for e in plan
+                ] == list(flat.schema.names):
+                    yield flat
+                    continue
+                leaves = {n: flat.column(j) for j, n in enumerate(flat.schema.names)}
+                arrays = []
+                for entry in plan:
+                    if entry[0] == "leaf":
+                        arrays.append(leaves[entry[1]])
+                    else:
+                        _, fld, needed = entry
+                        arr, _t = assemble_struct(fld, "", leaves, needed)
+                        arrays.append(arr)
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return decode, out_schema
+
+
+def _partial_struct_type(field: pa.Field, prefix: str, needed: set) -> pa.DataType:
+    name = prefix + field.name
+    cfields = []
+    for i in range(field.type.num_fields):
+        ch = field.type.field(i)
+        chname = f"{name}.{ch.name}"
+        if pa.types.is_struct(ch.type):
+            if any(n == chname or n.startswith(chname + ".") for n in needed):
+                cfields.append(
+                    pa.field(ch.name, _partial_struct_type(ch, name + ".", needed))
+                )
+        elif chname in needed:
+            cfields.append(pa.field(ch.name, ch.type))
+    return pa.struct(cfields)
 
 
 def scan(
@@ -477,14 +539,64 @@ def scan(
     where: Spec | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """Pruned, projected, exact scan over an encoded blocks table."""
+    """Pruned, projected, exact scan over an encoded blocks table.
+
+    ``schema`` is the ORIGINAL (possibly nested) table schema; ``columns``
+    names top-level columns; predicates may use dotted leaf paths
+    (``col("meta.lang") == "en"``) — the residual then evaluates as
+    Spark's native nested field access on the reassembled struct."""
     specs = specs_for_schema(schema)
-    all_names = [s.name for s in specs]
-    out_cols = columns or all_names
-    # required = projection ∪ predicate columns
-    # (/root/reference/src/prune/result.rs:59-86)
-    need = list(dict.fromkeys(out_cols + sorted(where.columns()))) if where else out_cols
-    need = [c for c in all_names if c in need]
+    top_fields = {schema.field(i).name: schema.field(i) for i in range(len(schema))}
+    out_cols = columns or list(top_fields)
+
+    pred_leaves: list[str] = sorted(where.columns()) if where else []
+    spec_names = {s.name for s in specs}
+    for p in pred_leaves:
+        if p not in spec_names:
+            raise KeyError(f"unknown predicate column {p}")
+
+    # flat decode set = projection leaves ∪ predicate leaves ∪ the
+    # __defined chain of every struct a predicate leaf lives in
+    flat_need: list[str] = []
+    struct_needed: dict[str, set] = {}
+    for c in out_cols:
+        fld = top_fields.get(c)
+        if fld is None:
+            raise KeyError(f"unknown column {c}")
+        ls = leaves_under(schema, c)
+        flat_need.extend(ls)
+        if pa.types.is_struct(fld.type):
+            struct_needed.setdefault(c, set()).update(ls)
+    for p in pred_leaves:
+        flat_need.append(p)
+        parts = p.split(".")
+        defined_chain = [
+            ".".join(parts[:d]) + ".__defined"
+            for d in range(1, len(parts))
+            if ".".join(parts[:d]) + ".__defined" in spec_names
+        ]
+        flat_need.extend(defined_chain)
+        if "." in p:
+            top = parts[0]
+            struct_needed.setdefault(top, set()).update([p, *defined_chain])
+    need = [s.name for s in specs if s.name in set(flat_need)]
+
+    # output plan: projected columns in order, then predicate-only columns
+    # (plain leaves and minimal structs — dropped by the final select
+    # after the residual filter)
+    plan: list = []
+    for c in out_cols:
+        fld = top_fields[c]
+        if pa.types.is_struct(fld.type):
+            plan.append(("struct", fld, struct_needed[c]))
+        else:
+            plan.append(("leaf", c))
+    for p in pred_leaves:
+        if "." not in p and p not in out_cols:
+            plan.append(("leaf", p))
+    for top, needed in struct_needed.items():
+        if top not in out_cols:
+            plan.append(("struct", top_fields[top], needed))
 
     if where is not None:
         blocks = blocks.filter(where.keep_blocks())
@@ -492,8 +604,8 @@ def scan(
     if where is not None:
         # ship the per-chunk stat arrays of predicate columns into the
         # reader so it can skip chunks (page-index analog) before decode
-        chunk_kinds = ("int", "timestamp", "float", "string")
-        for c in sorted(where.columns()):
+        chunk_kinds = ("int", "timestamp", "float", "string", "decimal")
+        for c in pred_leaves:
             s = next((s for s in specs if s.name == c), None)
             if s is not None and s.kind in chunk_kinds:
                 payload_cols += [
@@ -506,7 +618,7 @@ def scan(
     from aisle_spark.filterspec import utc_normalize
 
     decode, out_schema = _decode_fn(
-        specs, need, utc_normalize(where) if where is not None else None
+        specs, need, plan, utc_normalize(where) if where is not None else None
     )
     from aisle_spark.schema import _spark_type
     from pyspark.sql import types as T
@@ -514,7 +626,12 @@ def scan(
     spark_out = T.StructType(
         [T.StructField(f.name, _spark_type(f.type), True) for f in out_schema]
     )
-    decoded = blocks.select(*payload_cols).mapInArrow(decode, spark_out)
+    decoded = blocks.select(
+        *[
+            F.col(f"`{c}`").alias(c.replace(".", "__dot__"))
+            for c in payload_cols
+        ]
+    ).mapInArrow(decode, spark_out)
     if where is not None:
         decoded = decoded.filter(where.residual())
     return decoded.select(*out_cols)

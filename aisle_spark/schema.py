@@ -75,7 +75,113 @@ def spec_for_field(field: pa.Field) -> ColumnSpec:
 
 
 def specs_for_schema(schema: pa.Schema) -> list[ColumnSpec]:
-    return [spec_for_field(schema.field(i)) for i in range(len(schema))]
+    """Flat engine specs; struct columns are flattened to dotted leaf
+    names plus a ``{name}.__defined`` bool leaf carrying the struct's own
+    validity — aisle's schema-path resolution analog
+    (/root/reference/src/compile.rs:369-518, tests/prune_nested.rs)."""
+    out: list[ColumnSpec] = []
+    for i in range(len(schema)):
+        out.extend(_specs_for_field(schema.field(i), ""))
+    return out
+
+
+def _specs_for_field(field: pa.Field, prefix: str) -> list[ColumnSpec]:
+    name = prefix + field.name
+    t = field.type
+    if pa.types.is_struct(t):
+        specs = [ColumnSpec(f"{name}.__defined", "int", pa.bool_())]
+        for i in range(t.num_fields):
+            child = t.field(i)
+            if pa.types.is_list(child.type) or pa.types.is_large_list(child.type):
+                raise TypeError(
+                    f"list inside struct unsupported: {name}.{child.name}"
+                )
+            specs.extend(_specs_for_field(child, name + "."))
+        return specs
+    return [spec_for_field(pa.field(name, t, nullable=field.nullable))]
+
+
+def has_structs(schema: pa.Schema) -> bool:
+    return any(pa.types.is_struct(schema.field(i).type) for i in range(len(schema)))
+
+
+def flatten_table(tbl: pa.Table) -> pa.Table:
+    """Explode struct columns into dotted leaf columns (+ __defined).
+    Leaves under a NULL struct slot are canonicalized to NULL so the
+    round-trip is exact regardless of what the writer stored there."""
+    if not any(pa.types.is_struct(f.type) for f in tbl.schema):
+        return tbl
+    import pyarrow.compute as pc
+
+    arrays: list[pa.Array] = []
+    fields: list[pa.Field] = []
+
+    def emit(arr: pa.Array, field: pa.Field, prefix: str) -> None:
+        name = prefix + field.name
+        if pa.types.is_struct(field.type):
+            valid = arr.is_valid()
+            arrays.append(valid)
+            fields.append(pa.field(f"{name}.__defined", pa.bool_()))
+            for i in range(field.type.num_fields):
+                ch = field.type.field(i)
+                child = arr.field(i)
+                if arr.null_count:
+                    child = pc.if_else(valid, child, pa.scalar(None, ch.type))
+                emit(child, ch, name + ".")
+        else:
+            arrays.append(arr)
+            fields.append(pa.field(name, field.type, nullable=True))
+
+    for i, f in enumerate(tbl.schema):
+        col = tbl.column(i)
+        emit(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, f, "")
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def leaves_under(schema: pa.Schema, name: str) -> list[str]:
+    """All flat leaf names (incl. __defined) belonging to top-level or
+    nested column ``name``; [name] when it is already a plain leaf."""
+    specs = specs_for_schema(schema)
+    exact = [s.name for s in specs if s.name == name]
+    if exact:
+        return exact
+    under = [
+        s.name for s in specs if s.name.startswith(name + ".")
+    ]
+    if not under:
+        raise KeyError(name)
+    return under
+
+
+def assemble_struct(
+    field: pa.Field, prefix: str, leaves: dict[str, pa.Array], needed: set[str]
+) -> tuple[pa.Array, pa.DataType]:
+    """Rebuild a (possibly partial) StructArray from decoded flat leaves.
+    Only children with a needed leaf are included, so a predicate-only
+    struct carries just its predicate fields; the returned type reflects
+    what was actually assembled."""
+    import pyarrow.compute as pc
+
+    name = prefix + field.name
+    children: list[pa.Array] = []
+    cfields: list[pa.Field] = []
+    for i in range(field.type.num_fields):
+        ch = field.type.field(i)
+        chname = f"{name}.{ch.name}"
+        if pa.types.is_struct(ch.type):
+            if any(n == chname or n.startswith(chname + ".") for n in needed):
+                arr, t = assemble_struct(ch, name + ".", leaves, needed)
+                children.append(arr)
+                cfields.append(pa.field(ch.name, t))
+        elif chname in needed:
+            children.append(leaves[chname])
+            cfields.append(pa.field(ch.name, ch.type))
+    defined = leaves[f"{name}.__defined"]
+    mask = pc.invert(defined)
+    out = pa.StructArray.from_arrays(
+        children, fields=cfields, mask=mask
+    )
+    return out, pa.struct(cfields)
 
 
 # dictionary-hint threshold: blocks record the exact distinct set for a
@@ -171,6 +277,13 @@ def _spark_type(t: pa.DataType) -> T.DataType:
         return T.DecimalType(t.precision, t.scale)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return T.ArrayType(_spark_type(t.value_type), True)
+    if pa.types.is_struct(t):
+        return T.StructType(
+            [
+                T.StructField(t.field(i).name, _spark_type(t.field(i).type), True)
+                for i in range(t.num_fields)
+            ]
+        )
     raise TypeError(str(t))
 
 

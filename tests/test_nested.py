@@ -1,0 +1,124 @@
+"""Nested dotted-path predicates + struct round-trip — the engine's
+analog of aisle's schema-path resolution (/root/reference/src/compile.rs:
+369-518, exercised by tests/prune_nested.rs:47-113): struct columns are
+flattened to dotted leaf columns (plus a ``.__defined`` validity leaf) at
+encode, every per-leaf evidence kind (min/max, dict, bloom, chunk stats)
+applies unchanged, and the reader reassembles StructArrays so residuals
+run as Spark's native nested field access."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aisle_spark.blocks import decode_block, encode_block
+from aisle_spark.filterspec import col
+from aisle_spark.schema import (
+    assemble_struct,
+    flatten_table,
+    leaves_under,
+    specs_for_schema,
+)
+
+META = pa.struct([pa.field("lang", pa.string()), pa.field("score", pa.int64())])
+SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("meta", META)]
+)
+
+
+def _table(n=100, null_every=7):
+    langs = ["en", "de", "fr", "es"]
+    metas = [
+        None if i % null_every == 0 else {"lang": langs[i % 4], "score": i}
+        for i in range(n)
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array([f"d{i:04d}" for i in range(n)]),
+            pa.array(metas, type=META),
+        ],
+        schema=SCHEMA,
+    )
+
+
+def test_specs_flatten_with_defined_leaf():
+    specs = specs_for_schema(SCHEMA)
+    names = [s.name for s in specs]
+    assert names == ["doc_id", "meta.__defined", "meta.lang", "meta.score"]
+
+
+def test_flatten_nulls_leaves_under_null_struct():
+    flat = flatten_table(_table(21, null_every=7))
+    defined = flat.column("meta.__defined").to_pylist()
+    lang = flat.column("meta.lang").to_pylist()
+    for i in range(21):
+        if i % 7 == 0:
+            assert defined[i] is False and lang[i] is None
+        else:
+            assert defined[i] is True and lang[i] is not None
+
+
+def test_block_roundtrip_reassembles_struct_exactly():
+    tbl = _table(200)
+    flat = flatten_table(tbl)
+    specs = specs_for_schema(SCHEMA)
+    row = encode_block(specs, flat, 0, 0)
+    out = decode_block(specs, row)
+    leaves = {n: out.column(i) for i, n in enumerate(out.schema.names)}
+    arr, _t = assemble_struct(
+        SCHEMA.field("meta"), "", leaves, set(leaves_under(SCHEMA, "meta"))
+    )
+    assert arr.to_pylist() == tbl.column("meta").to_pylist()
+
+
+def test_nested_leaf_stats_and_pruning():
+    flat = flatten_table(_table(200))
+    specs = specs_for_schema(SCHEMA)
+    row = encode_block(specs, flat, 0, 0)
+    assert row["meta.lang__min"] == "de"
+    assert row["meta.lang__max"] == "fr"
+    assert row["meta.lang__nulls"] > 0  # null structs push nulls to leaves
+    assert row["meta.score__max"] == 199
+
+
+def test_list_inside_struct_rejected():
+    bad = pa.schema(
+        [pa.field("m", pa.struct([pa.field("toks", pa.list_(pa.int32()))]))]
+    )
+    with pytest.raises(TypeError):
+        specs_for_schema(bad)
+
+
+def test_scan_nested_predicate_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+    base = spark.createDataFrame(
+        [(f"d{i:04d}", ["en", "de", "fr", "es"][i % 4], i) for i in range(2000)],
+        "doc_id string, lang string, score long",
+    )
+    df = base.select(
+        "doc_id",
+        F.when(F.col("score") % 13 == 0, None)
+        .otherwise(F.struct("lang", "score"))
+        .alias("meta"),
+    )
+    schema = arrow_schema_of(df)
+    blocks = encode_table(
+        df, parts=2, block_rows=256, sort_cols=["meta.lang", "meta.score"]
+    ).cache()
+    total = blocks.count()
+    spec = (col("meta.lang") == "de") & (col("meta.score") > 1000)
+    kept = blocks.filter(spec.keep_blocks()).count()
+    assert kept < total  # dotted-leaf stats prune
+    exp = df.filter((F.col("meta.lang") == "de") & (F.col("meta.score") > 1000))
+    got = scan(blocks, schema, where=spec, columns=["doc_id", "meta"])
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in exp.collect()
+    )
+    # whole-table round-trip incl. NULL structs
+    full = scan(blocks, schema).orderBy("doc_id").collect()
+    assert full == df.orderBy("doc_id").collect()
+    blocks.unpersist()
