@@ -88,6 +88,15 @@ def _docs_with_struct(df: DataFrame) -> DataFrame:
     )
 
 
+def _docs_with_binary(df: DataFrame) -> DataFrame:
+    # opaque media-style payload as BINARY routed through the engine's
+    # codec/stats path (/root/reference/src/prune/stats.rs:222-257) —
+    # closes the "media tables bypass encode_table" gap from round 1
+    return df.select(
+        "doc_id", "n_chars", F.col("text").cast("binary").alias("payload")
+    )
+
+
 def _li_decimal(df: DataFrame) -> DataFrame:
     # money as DECIMAL, not double — the unscaled-int64 codec/stats path
     # (/root/reference/src/prune/stats.rs:365-410, tests/decimal_support.rs)
@@ -115,6 +124,9 @@ _VARIANT_BASE = {
         "(SELECT l_orderkey, l_linenumber, l_returnflag, "
         "CAST(l_extendedprice AS DECIMAL(12,2)) AS l_price "
         f"FROM {table})"
+    ),
+    "bin": lambda table: (
+        f"(SELECT doc_id, n_chars, CAST(text AS BLOB) AS payload FROM {table})"
     ),
     "struct": lambda table: (
         "(SELECT doc_id, n_chars, "
@@ -192,6 +204,17 @@ _SPECS: dict[str, tuple] = {
         ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"],
         "",
         None,
+    ),
+    # binary operand: bytewise range pruning over an opaque payload column
+    # (projection stays scalar — bytes render differently across the two
+    # pandas bridges; the predicate is what exercises the binary path)
+    "scan_binary_range": (
+        "documents",
+        ["payload"],
+        (col("payload") >= b"the ") & (col("payload") < b"the!"),
+        ["doc_id", "n_chars"],
+        "bin",
+        _docs_with_binary,
     ),
     # nested dotted-path predicate over a struct column: leaf stats/dict/
     # bloom prune on meta.lang, residual is Spark-native nested access

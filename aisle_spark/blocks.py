@@ -90,7 +90,7 @@ def _unwrap(buf: memoryview) -> tuple[int, np.ndarray | None, memoryview]:
 def _prim_to_numpy(spec: ColumnSpec, arr: pa.Array) -> np.ndarray:
     """Non-null primitive values as the exact-width numpy integer/float."""
     t = spec.arrow_type
-    if spec.kind == "timestamp":
+    if spec.kind in ("timestamp", "duration"):
         arr = arr.cast(pa.int64())
     elif pa.types.is_date(t):
         arr = arr.cast(pa.int32())
@@ -140,7 +140,7 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         chunk_stats_string,
     )
 
-    if spec.kind in ("int", "timestamp", "decimal"):
+    if spec.kind in ("int", "timestamp", "duration", "decimal"):
         vals = (
             _decimal_unscaled(arr)
             if spec.kind == "decimal"
@@ -168,8 +168,10 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         out[f"{c}__chunk_min"], out[f"{c}__chunk_max"] = cs["min"], cs["max"]
         out[f"{c}__chunk_nulls"] = cs["nulls"]
         raw = vals.nbytes
-    elif spec.kind == "string":
+    elif spec.kind in ("string", "binary"):
         nn = arr.drop_null()
+        if spec.kind == "binary" and pa.types.is_fixed_size_binary(nn.type):
+            nn = nn.cast(pa.binary())
         lengths, data = parts_from_arrow(nn)
         body = encode_strings(lengths, data)
         out[f"{c}__codec"] = str_codec_name(body)
@@ -248,6 +250,10 @@ def _stat_scalar(spec: ColumnSpec, v):
         return None
     if spec.kind == "timestamp":
         return np.datetime64(int(v), "us").item()
+    if spec.kind == "duration":
+        import datetime
+
+        return datetime.timedelta(microseconds=int(v))
     if spec.kind == "decimal":
         import decimal
 
@@ -268,7 +274,7 @@ def decode_column(spec: ColumnSpec, payload: bytes | memoryview) -> pa.Array:
     n, valid, body = _unwrap(memoryview(payload))
     t = spec.arrow_type
 
-    if spec.kind in ("int", "timestamp", "float", "decimal"):
+    if spec.kind in ("int", "timestamp", "duration", "float", "decimal"):
         if spec.kind == "float":
             vals = decode_floats(body)
         else:
@@ -276,8 +282,21 @@ def decode_column(spec: ColumnSpec, payload: bytes | memoryview) -> pa.Array:
         if spec.kind == "decimal":
             return _decimal_array(t, n, valid, vals)
         return _primitive_array(t, n, valid, vals)
-    if spec.kind == "string":
+    if spec.kind in ("string", "binary"):
         lengths, data = decode_strings(body)
+        if pa.types.is_fixed_size_binary(t):
+            w = t.byte_width
+            full = np.zeros(n * w, dtype=np.uint8)
+            if valid is None:
+                full[: data.size] = data
+            else:
+                idx = np.repeat(np.flatnonzero(valid) * w, w) + np.tile(
+                    np.arange(w), int(valid.sum())
+                )
+                full[idx] = data
+            return pa.Array.from_buffers(
+                t, n, [_validity_buf(n, valid), pa.py_buffer(full.tobytes())]
+            )
         return _string_array(t, n, valid, lengths, data)
     if spec.kind in ("intlist", "floatlist"):
         (ll,) = struct.unpack_from("<I", body, 0)

@@ -146,6 +146,8 @@ def _lit_num(v, spec_obj):
         return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
     if isinstance(v, _dt.date):
         return (v - _EPOCH_DATE).days
+    if isinstance(v, _dt.timedelta):
+        return (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
     return v
 
 
@@ -302,8 +304,9 @@ def _tri(spec, row: dict, kinds, n: int):
         mn, mx, nl = arrs
         all_null = nl == lens
         no_nulls = nl == 0
-        if kind == "string":
-            if spec.op not in fs.Cmp._SQL_OP or not isinstance(spec.value, str):
+        if kind in ("string", "binary"):
+            want = str if kind == "string" else bytes
+            if spec.op not in fs.Cmp._SQL_OP or not isinstance(spec.value, want):
                 return unknown
             t = np.zeros(k, dtype=bool)
             f = np.zeros(k, dtype=bool)
@@ -316,7 +319,7 @@ def _tri(spec, row: dict, kinds, n: int):
                 ti, fi = _scalar_cmp(spec.op, mn[i], mx[i], no_nulls[i], spec.value)
                 t[i], f[i] = ti, fi
             return t, f
-        if kind in ("int", "timestamp", "float", "decimal"):
+        if kind in ("int", "timestamp", "duration", "float", "decimal"):
             v = _lit_num(spec.value, spec_obj)
             if v is None or isinstance(v, str):
                 return unknown

@@ -53,8 +53,14 @@ def arrow_from_parts(lengths: np.ndarray, data: np.ndarray) -> pa.Array:
 
 
 def parts_from_arrow(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Extract (lengths int64[], utf8 uint8[]) from a pyarrow string array."""
-    arr = arr.cast(pa.large_utf8())
+    """Extract (lengths int64[], byte buffer uint8[]) from a pyarrow
+    string OR binary array (same variable-length layout)."""
+    big = (
+        pa.large_binary()
+        if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+        else pa.large_utf8()
+    )
+    arr = arr.cast(big)
     if arr.offset != 0:  # normalize sliced arrays
         arr = pa.concat_arrays([arr])
     buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)

@@ -125,6 +125,11 @@ def _sql_lit(v) -> str:
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, _decimal.Decimal):
         return str(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "'" + "".join(f"\\x{b:02X}" for b in bytes(v)) + "'::BLOB"
+    if isinstance(v, _dt.timedelta):
+        us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+        return f"(INTERVAL {us} MICROSECONDS)"
     if isinstance(v, _dt.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
@@ -240,8 +245,9 @@ def _bloom_absent(colname: str, values: tuple[str, ...]) -> Column:
     bl = _sc(f"{colname}__bloom")
     absent_all = None
     for v in values:
+        key = v if isinstance(v, bytes) else v.encode("utf-8")
         present = None
-        for p in bloom_positions(v.encode("utf-8")).tolist():
+        for p in bloom_positions(key).tolist():
             word = F.element_at(bl, int(p >> 6) + 1)
             bit = F.shiftright(word, int(p & 63)).bitwiseAND(F.lit(1)) == 1
             present = bit if present is None else present & bit
@@ -283,7 +289,7 @@ class Cmp(Spec):
             t = (smin >= v) & no_nulls
         else:  # pragma: no cover
             raise ValueError(op)
-        if op == "eq" and isinstance(self.value, str):
+        if op == "eq" and isinstance(self.value, (str, bytes)):
             # dictionary definite-absence (/root/reference/src/prune/
             # dictionary.rs:8-70): value outside the exact per-block
             # distinct set => every non-null row is F, null rows N —
@@ -306,7 +312,7 @@ class Cmp(Spec):
         op = self.op
         if op == "eq":
             out = _or_null(smin <= v, smin) & _or_null(smax >= v, smax)
-            if isinstance(self.value, str):
+            if isinstance(self.value, (str, bytes)):
                 if opts.use_dict:
                     d = _dict_col(self.col)
                     out = out & _or_null(F.array_contains(d, self.value), d)
@@ -408,7 +414,7 @@ class InList(Spec):
         # OR of Eq (short-circuit semantics come from the Kleene fold,
         # /root/reference/src/prune/in_list.rs:6-45)
         base = tri_or([Cmp(self.col, "eq", v).tri(opts) for v in self.values])
-        if opts.use_dict and all(isinstance(v, str) for v in self.values) and self.values:
+        if opts.use_dict and all(isinstance(v, (str, bytes)) for v in self.values) and self.values:
             d = _dict_col(self.col)
             absent_all = d.isNotNull() & ~F.arrays_overlap(
                 d, F.array(*[F.lit(v) for v in self.values])
@@ -425,7 +431,7 @@ class InList(Spec):
         out = parts[0]
         for p in parts[1:]:
             out = out | p
-        if all(isinstance(v, str) for v in self.values) and self.values:
+        if all(isinstance(v, (str, bytes)) for v in self.values) and self.values:
             if opts.use_dict:
                 d = _dict_col(self.col)
                 out = out & _or_null(

@@ -21,13 +21,21 @@ from dataclasses import dataclass
 import pyarrow as pa
 from pyspark.sql import types as T
 
-# kinds: "int" (ints/bool/date), "float", "string", "timestamp", "intlist"
+# kinds: "int" (ints/bool/date), "float", "string", "binary", "timestamp",
+# "duration", "decimal", "intlist", "floatlist"
 _ARROW_KINDS = [
     (pa.types.is_boolean, "int"),
     (pa.types.is_integer, "int"),
     (pa.types.is_floating, "float"),
     (lambda t: pa.types.is_string(t) or pa.types.is_large_string(t), "string"),
+    (
+        lambda t: pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_fixed_size_binary(t),
+        "binary",
+    ),
     (pa.types.is_timestamp, "timestamp"),
+    (pa.types.is_duration, "duration"),
     (pa.types.is_date, "int"),
 ]
 
@@ -43,6 +51,8 @@ class ColumnSpec:
         """Arrow type of the min/max stats columns."""
         if self.kind in ("intlist", "floatlist"):
             return self.arrow_type.value_type
+        if self.kind == "binary":  # fixed-size values still stat as binary
+            return pa.binary()
         return self.arrow_type
 
 
@@ -70,6 +80,8 @@ def spec_for_field(field: pa.Field) -> ColumnSpec:
                 # Spark's arrow boundary always speaks timestamp[us, UTC]
                 # regardless of what to_arrow_schema reports
                 t = pa.timestamp("us", tz="UTC")
+            elif kind == "duration":
+                t = pa.duration("us")  # Spark DayTimeIntervalType is µs
             return ColumnSpec(field.name, kind, t)
     raise TypeError(f"unsupported column type {t} for {field.name}")
 
@@ -221,7 +233,10 @@ def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
             if s.kind == "string":
                 fields.append(pa.field(f"{c}__dict", pa.list_(pa.string())))
                 fields.append(pa.field(f"{c}__bloom", pa.list_(pa.int64())))
-            if s.kind in ("int", "timestamp", "decimal"):
+            if s.kind == "binary":
+                fields.append(pa.field(f"{c}__dict", pa.list_(pa.binary())))
+                fields.append(pa.field(f"{c}__bloom", pa.list_(pa.int64())))
+            if s.kind in ("int", "timestamp", "duration", "decimal"):
                 fields.append(pa.field(f"{c}__distinct", pa.int64()))
             # per-chunk (page-index analog) stats, consumed by the
             # in-reader refinement — aisle's page-level granularity
@@ -229,9 +244,11 @@ def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
             ct = {
                 "int": pa.int64(),
                 "timestamp": pa.int64(),
+                "duration": pa.int64(),
                 "decimal": pa.int64(),  # unscaled
                 "float": pa.float64(),
                 "string": pa.string(),
+                "binary": pa.binary(),
             }[s.kind]
             fields += [
                 pa.field(f"{c}__chunk_min", pa.list_(ct)),
@@ -275,6 +292,10 @@ def _spark_type(t: pa.DataType) -> T.DataType:
         return T.DateType()
     if pa.types.is_decimal(t):
         return T.DecimalType(t.precision, t.scale)
+    if pa.types.is_duration(t):
+        return T.DayTimeIntervalType()
+    if pa.types.is_fixed_size_binary(t):
+        return T.BinaryType()
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return T.ArrayType(_spark_type(t.value_type), True)
     if pa.types.is_struct(t):
