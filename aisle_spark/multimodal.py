@@ -89,15 +89,28 @@ def decode_media(payload: bytes, kind: str):
 
 
 def _fake_features(payloads: pd.Series) -> np.ndarray:
-    """Deterministic stand-in for a vision/audio encoder: features seeded
-    from a stable digest of each payload. Vectorized per Arrow batch."""
-    import zlib
+    """Deterministic stand-in for a vision/audio encoder, FULLY vectorized
+    (the round-1 per-item crc32+RNG loop must not survive into a real
+    encoder path): one FNV pass over the concatenated byte buffer gives
+    two 64-bit digests per item, expanded to FEATURE_DIM lanes with a
+    splitmix finalizer and mapped to (-1, 1). Stable across runs, batch
+    boundaries, and parallelism — a pure function of the payload bytes."""
+    from aisle_spark.codecs.bloom import _fnv_pair_vec
 
-    out = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
-    for i, p in enumerate(payloads):  # per-ITEM loop over opaque blobs
-        rng = np.random.default_rng(zlib.crc32(p))
-        out[i] = rng.standard_normal(FEATURE_DIM).astype(np.float32)
-    return out
+    n = len(payloads)
+    if n == 0:
+        return np.empty((0, FEATURE_DIM), dtype=np.float32)
+    blobs = [bytes(p) for p in payloads]
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    lengths = np.fromiter((len(p) for p in blobs), dtype=np.int64, count=n)
+    h1, h2 = _fnv_pair_vec(lengths, data)
+    lane = np.arange(1, FEATURE_DIM + 1, dtype=np.uint64)
+    mix = h1[:, None] + lane[None, :] * h2[:, None]
+    mix ^= mix >> np.uint64(33)
+    mix *= np.uint64(0xFF51AFD7ED558CCD)
+    mix ^= mix >> np.uint64(33)
+    u = (mix >> np.uint64(40)).astype(np.float64) / float(1 << 24)
+    return (2.0 * u - 1.0).astype(np.float32)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -222,6 +222,21 @@ def main() -> None:
     t0 = time.time()
     scan(blocks, schema).agg(F.count("*"), F.sum(F.size("tokens"))).collect()
     queries["decode_full"] = round(time.time() - t0, 3)
+
+    # point lookups: bloom definite-absence (doc_id) and chunk-level skip
+    # (n_tok point inside kept blocks — most kept blocks decode nothing)
+    target = df.select("doc_id").limit(1).collect()[0][0]
+    t0 = time.time()
+    scan(blocks, schema, where=col("doc_id") == target, columns=["doc_id", "n_tok"]).count()
+    queries["scan_doc_id_point"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    scan(
+        blocks,
+        schema,
+        where=(col("source") == "web") & (col("n_tok") == 777),
+        columns=["doc_id", "n_tok"],
+    ).count()
+    queries["scan_point_chunkskip"] = round(time.time() - t0, 3)
     blocks.unpersist()
 
     # --- engine queries over driver testdata (documents) ---
