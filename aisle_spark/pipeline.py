@@ -323,6 +323,7 @@ def encode_files_direct(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     max_values: int = DEFAULT_MAX_VALUES,
     compression: str = "none",
+    resume: bool = False,
 ) -> list[str]:
     """The at-scale encode: python tasks read their input parquet with
     pyarrow, encode blocks, and WRITE the block parquet themselves — only
@@ -337,19 +338,37 @@ def encode_files_direct(
     names, so throughput scales with the python workers.
 
     Commit protocol (speculation/retry-safe): each attempt writes a
-    uniquely-named file via tmp-name + atomic rename, and the driver
-    records ONLY files reported by successful tasks in
-    ``_aisle_files.json``; readers list that manifest, never the
-    directory, so orphans from failed attempts are invisible. On an
-    object store the rename step drops out and the manifest alone is the
-    commit (same shape as Iceberg's file-list commit). ``part_id`` is
-    still the salted crc32 of each block's first-row salt columns — the
-    north rule's skew defense groups lineage/resume by it — while task
+    uniquely-named file via tmp-name + atomic rename, then a per-input
+    lineage sidecar under ``_done/`` (also atomic rename) recording the
+    data file plus codec/size/throughput metrics — the sidecar IS the
+    per-input commit point. The driver's ``_aisle_files.json`` is rebuilt
+    from the sidecars; readers list that manifest, never the directory,
+    so orphans from failed attempts are invisible. On an object store the
+    renames drop out and the manifest alone is the commit (same shape as
+    Iceberg's file-list commit).
+
+    ``resume=True`` skips every input file that already has a committed
+    sidecar — an interrupted run continues from the last committed input
+    (the north rule's "resumes from the last committed partition" for the
+    at-scale path; ``lineage_files`` exposes the metrics table).
+    ``part_id`` is still the salted crc32 of each block's first-row salt
+    columns — the skew defense groups lineage/resume by it — while task
     input stays byte-balanced by Spark's input-split planning."""
+    import glob as _glob
     import json as _json
     import os as _os
 
     files, specs, in_schema = _input_files(input_path)
+    done_dir = _os.path.join(out_path, "_done")
+    _os.makedirs(done_dir, exist_ok=True)
+    if resume:
+        committed_inputs = set()
+        for p in _glob.glob(_os.path.join(done_dir, "*.json")):
+            with open(p) as fh:
+                committed_inputs.update(_json.load(fh)["inputs"])
+        files = [f for f in files if _os.path.basename(f) not in committed_inputs]
+        if not files:
+            return _rebuild_manifest(out_path, in_schema)
     out_schema = blocks_arrow_schema(specs)
     sort_keys = [(c, "ascending") for c in (sort_cols or [])]
     salt_cols_eff = salt_cols or [
@@ -363,7 +382,9 @@ def encode_files_direct(
 
     def encode_and_write(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_threads()
+        import json
         import os
+        import time
         import uuid
         import zlib
 
@@ -373,10 +394,13 @@ def encode_files_direct(
         tc = TaskContext.get()
         task_id = tc.partitionId() if tc else 0
         attempt = tc.taskAttemptId() if tc else 0
+        t0 = time.time()
         rows: list[dict] = []
+        inputs: list[str] = []
         seq = 0
         for b in batches:
             for path in b.column(0).to_pylist():
+                inputs.append(os.path.basename(path))
                 tbl = flatten_table(pq.read_table(path, columns=names))
                 if sort_keys:
                     tbl = tbl.sort_by(sort_keys)
@@ -399,8 +423,33 @@ def encode_files_direct(
         tmp = os.path.join(out_path, f".{fname}.tmp")
         pq.write_table(out_tbl, tmp, compression=compression, row_group_size=64)
         os.replace(tmp, os.path.join(out_path, fname))
+        # the per-input COMMIT: data file is in place, now the sidecar.
+        # keyed by input names, so a retried/resumed task for the same
+        # inputs REPLACES this entry (and its orphan data file is never
+        # listed by the manifest rebuild)
+        wall = time.time() - t0
+        total_rows = int(sum(r["n_rows"] for r in rows))
+        meta = {
+            "inputs": inputs,
+            "file": fname,
+            "n_blocks": len(rows),
+            "n_rows": total_rows,
+            "enc_bytes": int(
+                sum(r[c] for r in rows for c in r if c.endswith("__enc_bytes"))
+            ),
+            "raw_bytes": int(
+                sum(r[c] for r in rows for c in r if c.endswith("__raw_bytes"))
+            ),
+            "wall_sec": round(wall, 4),
+            "rows_per_sec": round(total_rows / wall, 1) if wall > 0 else 0.0,
+        }
+        skey = f"{zlib.crc32('|'.join(sorted(inputs)).encode()):08x}"
+        dtmp = os.path.join(out_path, "_done", f".{skey}.json.tmp{attempt}")
+        with open(dtmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(dtmp, os.path.join(out_path, "_done", f"{skey}.json"))
         yield pa.RecordBatch.from_pylist(
-            [{"file": fname, "n_blocks": len(rows), "n_rows": len(out_tbl)}],
+            [{"file": fname, "n_blocks": len(rows), "n_rows": total_rows}],
             schema=pa.schema(
                 [
                     pa.field("file", pa.string()),
@@ -420,10 +469,24 @@ def encode_files_direct(
         ),
         "path string",
     )
-    res = fdf.mapInArrow(
+    fdf.mapInArrow(
         encode_and_write, "file string, n_blocks long, n_rows long"
     ).collect()
-    committed = sorted(r.file for r in res)
+    return _rebuild_manifest(out_path, in_schema)
+
+
+def _rebuild_manifest(out_path: str, in_schema: pa.Schema) -> list[str]:
+    """Manifest = exactly the data files named by committed ``_done/``
+    sidecars (this run's AND previous runs', so resume unions correctly)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    committed = []
+    for p in _glob.glob(_os.path.join(out_path, "_done", "*.json")):
+        with open(p) as fh:
+            committed.append(_json.load(fh)["file"])
+    committed = sorted(committed)
     with open(_os.path.join(out_path, "_aisle_files.json"), "w") as fh:
         _json.dump({"files": committed}, fh)
     # sidecar records the ORIGINAL (possibly nested) schema — scan derives
@@ -431,6 +494,36 @@ def encode_files_direct(
     in_arrow = pa.schema([f for f in in_schema if not f.name.startswith("_")])
     _write_schema_sidecar(out_path, in_arrow)
     return committed
+
+
+def lineage_files(spark: SparkSession, out_path: str) -> DataFrame:
+    """Per-input lineage + metrics of a direct-write encode as a DataFrame
+    (inputs, data file, blocks/rows/bytes, wall, throughput)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    rows = []
+    for p in sorted(_glob.glob(_os.path.join(out_path, "_done", "*.json"))):
+        with open(p) as fh:
+            rows.append(_json.load(fh))
+    return spark.createDataFrame(
+        [
+            (
+                r["inputs"],
+                r["file"],
+                r["n_blocks"],
+                r["n_rows"],
+                r["enc_bytes"],
+                r["raw_bytes"],
+                r["wall_sec"],
+                r["rows_per_sec"],
+            )
+            for r in rows
+        ],
+        "inputs array<string>, file string, n_blocks long, n_rows long, "
+        "enc_bytes long, raw_bytes long, wall_sec double, rows_per_sec double",
+    )
 
 
 def _input_files(input_path: str):

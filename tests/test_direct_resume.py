@@ -1,0 +1,105 @@
+"""Direct-write encode: per-input sidecar commits, resume-from-committed,
+and the lineage/metrics table (north rule: resumes from the last committed
+partition, per-partition lineage + codec/size/throughput metrics)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from aisle_spark.pipeline import (
+    encode_files_direct,
+    lineage_files,
+    read_encoded,
+    scan,
+)
+from aisle_spark.schema import synth_batch
+
+BASE = "/tmp/aisle_direct_resume"
+
+
+@pytest.fixture()
+def dirs():
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = os.path.join(BASE, "src")
+    out = os.path.join(BASE, "enc")
+    os.makedirs(src)
+    yield src, out
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+def _drop(src, name, start, n):
+    pq.write_table(
+        pa.Table.from_batches([synth_batch(start, n)]), os.path.join(src, name)
+    )
+
+
+def test_resume_skips_committed_inputs(spark, dirs):
+    src, out = dirs
+    _drop(src, "f0.parquet", 0, 2000)
+    _drop(src, "f1.parquet", 2000, 2000)
+    committed = encode_files_direct(
+        spark, src, out, parts=4, sort_cols=["source", "n_tok"], block_rows=512
+    )
+    assert len(committed) == 2
+    first_sidecars = {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "_done/*.json"))
+    }
+    # two more input files arrive; resume encodes ONLY them
+    _drop(src, "f2.parquet", 4000, 2000)
+    _drop(src, "f3.parquet", 6000, 2000)
+    committed = encode_files_direct(
+        spark, src, out, parts=4, sort_cols=["source", "n_tok"], block_rows=512,
+        resume=True,
+    )
+    assert len(committed) == 4
+    for p, mt in first_sidecars.items():
+        assert os.path.getmtime(p) == mt, "committed input was re-encoded"
+    blocks, schema = read_encoded(spark, out)
+    total = scan(blocks, schema).agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("s")
+    ).collect()[0]
+    raw = spark.read.parquet(src).agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("s")
+    ).collect()[0]
+    assert (total.n, total.s) == (raw.n, raw.s)
+    # resume with nothing new is a no-op that still returns the manifest
+    again = encode_files_direct(spark, src, out, parts=4, resume=True)
+    assert again == committed
+
+
+def test_lineage_metrics_table(spark, dirs):
+    src, out = dirs
+    _drop(src, "f0.parquet", 0, 3000)
+    encode_files_direct(
+        spark, src, out, parts=4, sort_cols=["source", "n_tok"], block_rows=512
+    )
+    lin = lineage_files(spark, out)
+    row = lin.collect()[0]
+    assert row.inputs == ["f0.parquet"]
+    assert row.n_rows == 3000
+    assert 0 < row.enc_bytes < row.raw_bytes
+    assert row.rows_per_sec > 0
+
+
+def test_orphan_files_invisible_to_readers(spark, dirs):
+    """A data file without a sidecar (crash between the two renames) is
+    not listed by the rebuilt manifest."""
+    src, out = dirs
+    _drop(src, "f0.parquet", 0, 2000)
+    encode_files_direct(spark, src, out, parts=4, block_rows=512)
+    orphan = os.path.join(out, "blocks-99999-0-deadbeef.parquet")
+    existing = [f for f in os.listdir(out) if f.startswith("blocks-")][0]
+    shutil.copy(os.path.join(out, existing), orphan)
+    # rebuild via a resume no-op; the orphan must stay unlisted
+    committed = encode_files_direct(spark, src, out, parts=4, resume=True)
+    assert os.path.basename(orphan) not in committed
+    blocks, schema = read_encoded(spark, out)
+    assert scan(blocks, schema).count() == 2000
