@@ -292,11 +292,16 @@ def int_stats(arr: np.ndarray, exact_distinct: bool = True) -> dict:
     if n == 0:
         return {"n": 0, "min": None, "max": None, "n_runs": 0, "distinct": 0}
     n_runs = 1 + int(np.count_nonzero(u[1:] != u[:-1]))
-    if not exact_distinct and n > SAMPLE_CAP:
-        sample = u[:: max(1, n // SAMPLE_CAP)]
+    if not exact_distinct and n > 1024:
+        # sampled cardinality screen: a 512-point sample that is >1/4
+        # unique means dict can't win at this chunk size — skip the exact
+        # unique (a full sort, the chunk-cascade profile hotspot).
+        # Overestimating distinct only disables the dict codec; min/max/
+        # n_runs stay exact, so pruning soundness is untouched.
+        sample = u[:: max(1, n // 512)]
         k = int(np.unique(sample).size)
-        if k > sample.size // 2:
-            distinct = n  # high cardinality: dict can't win, skip exact pass
+        if k > sample.size // 4:
+            distinct = n
         else:
             distinct = int(np.unique(u).size)
     else:

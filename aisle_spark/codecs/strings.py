@@ -141,8 +141,11 @@ def _expansions(merges: list[tuple[int, int]]) -> list[bytes]:
     return exp
 
 
-def fsst_encode(lengths: np.ndarray, data: np.ndarray, sample_cap: int = 1 << 16,
+def fsst_encode(lengths: np.ndarray, data: np.ndarray, sample_cap: int = 1 << 14,
                 max_merges: int = _MAX_SYMBOLS) -> bytes:
+    # 16 KB training sample: the symbol table converges on far less (the
+    # FSST paper samples ~16 KB too); training was the encode-profile
+    # hotspot at 64 KB with no measurable ratio gain
     n = int(lengths.size)
     lengths = lengths.astype(np.int64, copy=False)
     # --- train on a prefix sample ---
