@@ -54,12 +54,49 @@ def cmd_encode(args) -> None:
             sort_cols=sort_cols,
         )
         print(f"encoded {ran} group(s) this run (0 = already complete)")
+    elif args.direct:
+        from aisle_spark.pipeline import encode_files_direct
+
+        committed = encode_files_direct(
+            spark,
+            args.input,
+            args.output,
+            parts=args.parts,
+            sort_cols=sort_cols,
+            resume=args.resume,
+        )
+        print(f"committed {len(committed)} block file(s)")
     else:
         blocks, schema = encode_files_inline(
             spark, args.input, parts=args.parts, sort_cols=sort_cols
         )
         blocks.write.mode(args.mode).option("compression", "none").parquet(args.output)
         _write_schema_sidecar(args.output, schema)
+    spark.stop()
+
+
+def cmd_stream(args) -> None:
+    from aisle_spark.streaming import encode_stream
+
+    spark = _session("aisle-stream")
+    sort_cols = args.sort.split(",") if args.sort else None
+    stream = (
+        spark.readStream.schema(args.schema)
+        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+        .parquet(args.input)
+    )
+    q = encode_stream(
+        stream,
+        args.output,
+        args.checkpoint,
+        parts=args.parts,
+        sort_cols=sort_cols,
+    )
+    if args.once:
+        q.processAllAvailable()
+        q.stop()
+    else:  # pragma: no cover - long-running service mode
+        q.awaitTermination()
     spark.stop()
 
 
@@ -108,7 +145,30 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--mode", default="overwrite")
     e.add_argument("--resumable", action="store_true")
     e.add_argument("--groups", type=int, default=16)
+    e.add_argument(
+        "--direct",
+        action="store_true",
+        help="python tasks write block parquet directly (at-scale path)",
+    )
+    e.add_argument(
+        "--resume",
+        action="store_true",
+        help="with --direct: skip inputs already committed in _done/",
+    )
     e.set_defaults(fn=cmd_encode)
+
+    st = sub.add_parser("stream", help="Structured Streaming encode sink")
+    st.add_argument("--input", required=True, help="streaming parquet source dir")
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--schema", required=True, help="DDL of the source schema")
+    st.add_argument("--parts", type=int, default=256)
+    st.add_argument("--sort", default=None)
+    st.add_argument("--max-files-per-trigger", type=int, default=16)
+    st.add_argument(
+        "--once", action="store_true", help="drain available input then stop"
+    )
+    st.set_defaults(fn=cmd_stream)
 
     s = sub.add_parser("scan", help="pruned scan over an encoded table")
     s.add_argument("--table", required=True)
