@@ -745,3 +745,19 @@ class col:
 
     def startswith(self, p: str):
         return StartsWith(self.name, p)
+
+    def like(self, pattern: str):
+        """LIKE-pattern classification, same rules as the reference's
+        like_pattern_to_rule (/root/reference/src/compile.rs:700-745):
+        no wildcard -> Eq; a single trailing '%' -> StartsWith; any other
+        wildcard shape is unsupported for PRUNING (evaluate it as a plain
+        residual filter on the decoded frame instead)."""
+        body = pattern[:-1] if pattern.endswith("%") else pattern
+        if "%" in body or "_" in body:
+            raise ValueError(
+                f"LIKE pattern {pattern!r} not prunable (only 'literal' and "
+                "'prefix%' forms are); filter the decoded DataFrame instead"
+            )
+        if pattern.endswith("%"):
+            return StartsWith(self.name, body)
+        return Cmp(self.name, "eq", pattern)

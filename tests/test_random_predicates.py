@@ -59,3 +59,102 @@ def test_random_predicates_sound(spark, seed):
         assert g == e, f"seed={seed} mismatch for {spec!r}: extra={g - e} missing={e - g}"
     blocks.unpersist()
     df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# same sweep over the round-2 operand types: decimal, binary, duration,
+# nested struct leaves — block AND chunk pruning must never drop a row
+# ---------------------------------------------------------------------------
+
+
+def _typed_df(spark):
+    import datetime as dt
+    import random as _r
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rng = _r.Random(7)
+    rows = []
+    for i in range(2500):
+        null = rng.random() < 0.05
+        rows.append(
+            (
+                f"d{i:05d}",
+                None if null else Decimal(rng.randrange(0, 100000)).scaleb(-2),
+                None if null else dt.timedelta(seconds=rng.randrange(0, 100000)),
+                None if null else bytes([rng.randrange(65, 91) for _ in range(4)]),
+                None
+                if rng.random() < 0.08
+                else {"lang": rng.choice(["en", "de", "fr"]), "score": rng.randrange(100)},
+            )
+        )
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField("dur", T.DayTimeIntervalType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("score", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(rows, sch)
+
+
+def _rand_typed_leaf(rng: random.Random) -> Spec:
+    import datetime as dt
+    from decimal import Decimal
+
+    kind = rng.randrange(5)
+    ops = ["eq", "ne", "lt", "le", "gt", "ge"]
+    if kind == 0:
+        return Cmp("price", rng.choice(ops), Decimal(rng.randrange(0, 100000)).scaleb(-2))
+    if kind == 1:
+        return Cmp("dur", rng.choice(ops), dt.timedelta(seconds=rng.randrange(0, 100000)))
+    if kind == 2:
+        return Cmp("blob", rng.choice(ops), bytes([rng.randrange(65, 91) for _ in range(4)]))
+    if kind == 3:
+        return Cmp("meta.lang", rng.choice(["eq", "ne"]), rng.choice(["en", "de", "fr", "xx"]))
+    return Cmp("meta.score", rng.choice(ops), rng.randrange(0, 110))
+
+
+def _rand_typed_spec(rng: random.Random, depth: int = 2) -> Spec:
+    if depth == 0 or rng.random() < 0.4:
+        return _rand_typed_leaf(rng)
+    k = rng.randrange(3)
+    if k == 0:
+        return And([_rand_typed_spec(rng, depth - 1), _rand_typed_spec(rng, depth - 1)])
+    if k == 1:
+        return Or([_rand_typed_spec(rng, depth - 1), _rand_typed_spec(rng, depth - 1)])
+    return Not(_rand_typed_spec(rng, depth - 1))
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_random_predicates_sound_typed(spark, seed):
+    from aisle_spark.pipeline import arrow_schema_of
+
+    rng = random.Random(seed)
+    df = _typed_df(spark).cache()
+    schema = arrow_schema_of(df)
+    blocks = encode_table(
+        df, parts=4, block_rows=256, sort_cols=["meta.lang", "price"]
+    ).cache()
+    blocks.count()
+    for _ in range(8):
+        spec = _rand_typed_spec(rng)
+        got = scan(blocks, schema, where=spec, columns=["id"])
+        exp = df.filter(spec.residual()).select("id")
+        g = {r.id for r in got.collect()}
+        e = {r.id for r in exp.collect()}
+        assert g == e, f"seed={seed} mismatch for {spec!r}: extra={g - e} missing={e - g}"
+    blocks.unpersist()
+    df.unpersist()

@@ -98,3 +98,26 @@ def test_timestamp_literals_respect_session_timezone(spark):
         assert got == expected == ["b", "c"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+class TestLikeClassification:
+    """like_pattern_to_rule parity (/root/reference/src/compile.rs:700-745)."""
+
+    def test_no_wildcard_is_eq(self):
+        from aisle_spark.filterspec import Cmp, col
+
+        assert col("s").like("foo") == Cmp("s", "eq", "foo")
+
+    def test_trailing_percent_is_startswith(self):
+        from aisle_spark.filterspec import StartsWith, col
+
+        assert col("s").like("foo%") == StartsWith("s", "foo")
+
+    def test_other_wildcards_rejected(self):
+        import pytest
+
+        from aisle_spark.filterspec import col
+
+        for pat in ("%foo", "f%o", "f_o", "fo_%"):
+            with pytest.raises(ValueError):
+                col("s").like(pat)
