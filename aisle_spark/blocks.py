@@ -178,11 +178,19 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         if len(nn):
             import pyarrow.compute as pc
 
+            from aisle_spark.filterspec import truncate_stat_max, truncate_stat_min
+
             mm = pc.min_max(nn)
-            out[f"{c}__min"] = mm["min"].as_py()
-            out[f"{c}__max"] = mm["max"].as_py()
+            # long values store BOUNDS, not exact stats: prefix lower bound
+            # / successor upper bound keep pruning sound while capping the
+            # manifest at STAT_TRUNC bytes per stat (a 100KB document must
+            # never be copied into min/max/chunk arrays)
+            out[f"{c}__min"] = truncate_stat_min(mm["min"].as_py())
+            out[f"{c}__max"] = truncate_stat_max(mm["max"].as_py())
             uniq = pc.unique(nn)
-            if len(uniq) <= DICT_HINT_MAX:
+            if len(uniq) <= DICT_HINT_MAX and (
+                pc.max(pc.binary_length(uniq)).as_py() or 0
+            ) <= 128:
                 out[f"{c}__dict"] = sorted(uniq.to_pylist())
                 out[f"{c}__bloom"] = None
             else:

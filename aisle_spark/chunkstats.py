@@ -100,8 +100,12 @@ def chunk_stats_float(vals: np.ndarray, valid: np.ndarray | None, n: int) -> dic
 
 def chunk_stats_string(arr: pa.Array, n: int) -> dict:
     """String chunk stats via pyarrow min_max per slice (<= 8 slices per
-    block — a bounded loop over chunks, never over rows)."""
+    block — a bounded loop over chunks, never over rows). Long values are
+    stored as sound bounds (prefix min / successor max), same discipline
+    as the block-level stats."""
     import pyarrow.compute as pc
+
+    from aisle_spark.filterspec import truncate_stat_max, truncate_stat_min
 
     k = n_chunks(n)
     mins: list[str | None] = []
@@ -116,8 +120,8 @@ def chunk_stats_string(arr: pa.Array, n: int) -> dict:
             maxs.append(None)
         else:
             mm = pc.min_max(sl)
-            mins.append(mm["min"].as_py())
-            maxs.append(mm["max"].as_py())
+            mins.append(truncate_stat_min(mm["min"].as_py()))
+            maxs.append(truncate_stat_max(mm["max"].as_py()))
     return {"min": mins, "max": maxs, "nulls": nulls}
 
 
@@ -283,7 +287,7 @@ def _tri(spec, row: dict, kinds, n: int):
                 t[i] = f[i] = True
                 continue
             lo_s, hi_s = mn[i], mx[i]
-            if lo_s is None:
+            if lo_s is None or hi_s is None:  # truncation overflow => Unknown
                 continue
             if p == "":
                 t[i] = no_nulls[i]
@@ -314,7 +318,7 @@ def _tri(spec, row: dict, kinds, n: int):
                 if all_null[i]:
                     t[i] = f[i] = True
                     continue
-                if mn[i] is None:
+                if mn[i] is None or mx[i] is None:  # truncation overflow
                     continue
                 ti, fi = _scalar_cmp(spec.op, mn[i], mx[i], no_nulls[i], spec.value)
                 t[i], f[i] = ti, fi

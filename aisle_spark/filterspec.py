@@ -61,6 +61,41 @@ def next_prefix(p: str) -> str | None:
     return None
 
 
+def next_prefix_bytes(p: bytes) -> bytes | None:
+    """Byte-string analog of next_prefix (for binary stats truncation)."""
+    b = bytearray(p)
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] < 0xFF:
+            return bytes(b[:i]) + bytes([b[i] + 1])
+    return None
+
+
+STAT_TRUNC = 64  # max stored length of string/binary min-max stats
+
+
+def truncate_stat_min(v, limit: int = STAT_TRUNC):
+    """LOWER bound of a string/bytes min stat: a prefix sorts <= the full
+    value, so pruning with it stays sound (the reference's truncated-stats
+    discipline, /root/reference/src/prune/stats.rs:30-69 — there the
+    WRITER truncates and aisle must trust the ordering flag; here we are
+    the writer, so we truncate with known-sound bound semantics)."""
+    if v is None or len(v) <= limit:
+        return v
+    return v[:limit]
+
+
+def truncate_stat_max(v, limit: int = STAT_TRUNC):
+    """UPPER bound of a string/bytes max stat: the successor of the
+    truncated prefix sorts > every value with that prefix. When no
+    successor exists (all U+10FFFF / 0xFF) return None => Unknown => the
+    pruner keeps the block — conservative, never wrong."""
+    if v is None or len(v) <= limit:
+        return v
+    if isinstance(v, bytes):
+        return next_prefix_bytes(v[:limit])
+    return next_prefix(v[:limit])
+
+
 # ---------------------------------------------------------------------------
 # tri-state algebra
 # ---------------------------------------------------------------------------

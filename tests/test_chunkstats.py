@@ -153,3 +153,55 @@ class TestReaderIntegration:
         ref = (x >= 2500) & (x <= 2600)
         assert out.num_rows == int(ref.sum())
         assert out.column("x").to_pylist() == x[ref].tolist()
+
+
+class TestLongValueStatBounds:
+    """String/binary stats are BOUNDS capped at STAT_TRUNC bytes — a long
+    document is never copied into the manifest, and pruning stays sound
+    (the reference's truncated-stats ordering discipline,
+    /root/reference/src/prune/stats.rs:30-69, from the writer's side)."""
+
+    def test_stats_are_capped_and_sound(self):
+        from aisle_spark.filterspec import STAT_TRUNC
+
+        vals = [("p" * 100) + f"{i:05d}" + ("x" * 200) for i in range(N)]
+        specs, row = _block({"s": pa.array(vals)})
+        assert len(row["s__min"]) <= STAT_TRUNC
+        assert len(row["s__max"]) <= STAT_TRUNC + 1
+        assert row["s__min"] <= min(vals)
+        assert row["s__max"] > max(vals)
+        for cm in row["s__chunk_max"]:
+            assert cm is None or len(cm) <= STAT_TRUNC + 1
+
+    def test_truncation_overflow_keeps_block(self):
+        from aisle_spark.filterspec import col, truncate_stat_max
+
+        assert truncate_stat_max("\U0010ffff" * 100) is None
+        assert truncate_stat_max(b"\xff" * 100) is None
+        vals = ["\U0010ffff" * 100] * N
+        specs, row = _block({"s": pa.array(vals)})
+        assert row["s__max"] is None  # Unknown
+        keep = chunk_keep(col("s") == "\U0010ffff" * 100, row, _kinds(specs), N)
+        assert keep.all()  # Unknown => keep, never a wrong skip
+
+    def test_long_string_scan_soundness(self, spark):
+        from pyspark.sql import functions as F
+
+        from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+        rows = [(i, ("common-prefix-" * 8) + f"{i % 7}-{i:06d}" + ("z" * 120))
+                for i in range(3000)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        schema = arrow_schema_of(df)
+        blocks = encode_table(df, parts=2, block_rows=256, sort_cols=["s"]).cache()
+        target = rows[1234][1]
+        for spec, ref in [
+            (col("s") == target, F.col("s") == target),
+            (col("s") < target, F.col("s") < target),
+            (col("s").startswith("common-prefix-" * 8 + "3"),
+             F.col("s").startswith("common-prefix-" * 8 + "3")),
+        ]:
+            got = {r.id for r in scan(blocks, schema, where=spec, columns=["id"]).collect()}
+            exp = {r.id for r in df.filter(ref).select("id").collect()}
+            assert got == exp, f"{spec!r}"
+        blocks.unpersist()
