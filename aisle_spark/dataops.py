@@ -25,6 +25,8 @@ Ops (the large-scale training-pipeline set):
                         (the at-scale composition: no all-pairs join)
   dedup_simhash         64-bit banded simhash near-dup pairs with exact
                         hamming verification (bit_count over band XORs)
+  dedup_cosine_near     embedding-cosine near-dup pairs verified only on
+                        LSH-bucket candidates (never all-pairs)
   ann_dot_topk          brute-force inner-product top-k neighbors (small-n
                         oracle; the scale path is ann_lsh_topk)
   ann_lsh_buckets       random-hyperplane LSH bucketing
@@ -408,6 +410,39 @@ SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def _chain_dot(d, a: str, b: str, dim: int = _ANN_DIM) -> str:
+    """Explicit left-associated dot-product chain — identical fp op order
+    in both dialects, so the value is bit-reproducible across engines."""
+    return " + ".join(
+        f"CAST({d['AT'](a, i + 1)} AS DOUBLE) * CAST({d['AT'](b, i + 1)} AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def _t_dedup_cosine(d) -> str:
+    """Embedding-cosine near-dup pairs, verified ONLY on LSH-bucket
+    candidates (the same compose-behind-candidates shape as
+    dedup_lsh_jaccard): bucket equi-join, then exact cosine — never an
+    all-pairs join. Norms and cross-dot use explicit fp-order-stable
+    chains so the projected cosine hash-matches the DuckDB oracle."""
+    bucket = _bucket_expr(d, "embedding", _TOPK_PLANES)
+    dot_ab = _chain_dot(d, "a.embedding", "b.embedding")
+    dot_aa = _chain_dot(d, "a.embedding", "a.embedding")
+    dot_bb = _chain_dot(d, "b.embedding", "b.embedding")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ({dot_ab}) / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.30
+"""
+
+
 def simhash_pairs(spark: SparkSession) -> DataFrame:
     """Convenience wrapper over the dual-dialect simhash template."""
     return spark.sql(_t_simhash(_DIALECTS["spark"], "spark"))
@@ -451,6 +486,7 @@ DATAOPS: dict[str, tuple] = {
         "documents", _sql_op(_t_lsh_jaccard, True), True, None,
     ),
     "dedup_simhash": ("documents", _sql_op(_t_simhash, True), True, None),
+    "dedup_cosine_near": ("embeddings", _sql_op(_t_dedup_cosine), True, None),
     "ann_dot_topk": ("embeddings", _sql_op(_t_ann_dot_topk), True, None),
     "ann_lsh_buckets": ("embeddings", _sql_op(_t_ann_lsh_buckets), True, None),
     "ann_lsh_topk": ("embeddings", _sql_op(_t_ann_lsh_topk), True, None),

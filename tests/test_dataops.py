@@ -113,3 +113,18 @@ def test_embeddings_roundtrip_through_engine(spark):
     assert out["vec_id"].tolist() == exp["vec_id"].tolist()
     for x, y in zip(out["embedding"], exp["embedding"]):
         assert np.array_equal(np.asarray(x, dtype=np.float32), np.asarray(y, dtype=np.float32))
+
+
+def test_dedup_cosine_near_is_equi_join_and_sane(views):
+    """Cosine near-dup verification runs only on LSH-bucket candidates:
+    equi-join plan (never NestedLoop), symmetric-free pairs, cosine in
+    [-1, 1] and above the threshold."""
+    from aisle_spark.dataops import DATAOPS
+
+    sqlfn = DATAOPS["dedup_cosine_near"][1]
+    df = views.sql(sqlfn("spark"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    out = df.toPandas()
+    assert (out["id_a"] < out["id_b"]).all()
+    assert out["cos_sim"].between(0.30, 1.0 + 1e-9).all()
