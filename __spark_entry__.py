@@ -205,6 +205,17 @@ _SPECS: dict[str, tuple] = {
         "",
         None,
     ),
+    # list-element predicate (EXISTS element > v) over the embedding
+    # column, pruned via per-block elem_min/max stats — the reference's
+    # list-element path (/root/reference/tests/prune_list_map.rs)
+    "scan_array_any_gt": (
+        "embeddings",
+        ["label", "vec_id"],
+        col("embedding").any_cmp("gt", 0.42),
+        ["vec_id", "label"],
+        "",
+        None,
+    ),
     # binary operand: bytewise range pruning over an opaque payload column
     # (projection stays scalar — bytes render differently across the two
     # pandas bridges; the predicate is what exercises the binary path)

@@ -591,6 +591,97 @@ class StartsWith(Spec):
 
 
 @dataclass(frozen=True)
+class ArrayAny(Spec):
+    """EXISTS element of a list column satisfying ``elem op value`` — the
+    list-element predicate path of the reference
+    (/root/reference/tests/prune_list_map.rs, src/compile.rs element
+    aliases), pruned via the per-block ``{col}__elem_min/max`` stats.
+
+    Tri-state: the f-side (no row TRUE) follows from "no ELEMENT in the
+    block can satisfy", a pure interval test on element stats; the t-side
+    stays False (a row with an empty list evaluates FALSE, and stats
+    can't exclude empty lists), so Not(ArrayAny) conservatively keeps —
+    the same one-sidedness the reference's page algebra has for exists-
+    style predicates. Float element stats record max=NaN when a NaN is
+    present, and Spark evaluates NaN > v as TRUE, so NaN-bearing blocks
+    are never skipped."""
+
+    col: str
+    op: str  # eq ne lt le gt ge
+    value: object
+
+    def _estats(self):
+        return _sc(f"{self.col}__elem_min"), _sc(f"{self.col}__elem_max")
+
+    def _f(self) -> Column:
+        emin, emax = self._estats()
+        v = F.lit(self.value)
+        op = self.op
+        if op == "eq":
+            return (emin > v) | (emax < v)
+        if op == "ne":
+            return (emin == v) & (emax == v)
+        if op == "lt":
+            return emin >= v
+        if op == "le":
+            return emin > v
+        if op == "gt":
+            return emax <= v
+        if op == "ge":
+            return emax < v
+        raise ValueError(op)  # pragma: no cover
+
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        return Tri(F.lit(False), _c(self._f()))
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        emin, emax = self._estats()
+        v = F.lit(self.value)
+        op = self.op
+        if op == "eq":
+            return _or_null(emin <= v, emin) & _or_null(emax >= v, emax)
+        if op == "ne":
+            return _or_null(emin != v, emin) | _or_null(emax != v, emax)
+        if op == "lt":
+            return _or_null(emin < v, emin)
+        if op == "le":
+            return _or_null(emin <= v, emin)
+        if op == "gt":
+            return _or_null(emax > v, emax)
+        if op == "ge":
+            return _or_null(emax >= v, emax)
+        raise ValueError(op)  # pragma: no cover
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(True)  # t-side is never certain (empty lists)
+
+    def residual(self) -> Column:
+        op = self.op
+        v = F.lit(self.value)
+        return F.exists(
+            F.col(self.col),
+            lambda x: {
+                "eq": x == v,
+                "ne": x != v,
+                "lt": x < v,
+                "le": x <= v,
+                "gt": x > v,
+                "ge": x >= v,
+            }[op],
+        )
+
+    def to_sql(self) -> str:
+        sqlop = Cmp._SQL_OP[self.op]
+        return (
+            f"len(list_filter({self.col}, x -> x {sqlop} "
+            f"{_sql_lit(self.value)})) > 0"
+        )
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
 class And(Spec):
     parts: list
 
@@ -780,6 +871,14 @@ class col:
 
     def startswith(self, p: str):
         return StartsWith(self.name, p)
+
+    def contains(self, v):
+        """EXISTS element == v (list columns; elem-stats pruned)."""
+        return ArrayAny(self.name, "eq", v)
+
+    def any_cmp(self, op: str, v):
+        """EXISTS element ``op`` v, op in eq/ne/lt/le/gt/ge."""
+        return ArrayAny(self.name, op, v)
 
     def like(self, pattern: str):
         """LIKE-pattern classification, same rules as the reference's

@@ -121,3 +121,60 @@ class TestLikeClassification:
         for pat in ("%foo", "f%o", "f_o", "fo_%"):
             with pytest.raises(ValueError):
                 col("s").like(pat)
+
+
+class TestArrayAny:
+    """List-element predicates pruned via elem_min/max stats
+    (/root/reference/tests/prune_list_map.rs element-path parity)."""
+
+    def test_contains_matches_spark_exists(self, spark):
+        import pyarrow as pa
+
+        from pyspark.sql import functions as F
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import encode_table, scan
+        from aisle_spark.schema import TOKEN_SCHEMA, synth_batch
+
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(0, 3000)])).cache()
+        blocks = encode_table(df, parts=2, block_rows=256).cache()
+        total = blocks.count()
+        spec = col("tokens").contains(77777)  # regime-2 palette value
+        got = {r.doc_id for r in scan(blocks, TOKEN_SCHEMA, where=spec,
+                                      columns=["doc_id"]).collect()}
+        exp = {r.doc_id for r in df.filter(
+            F.array_contains("tokens", 77777)).select("doc_id").collect()}
+        assert got == exp and got
+        # out-of-vocab value prunes EVERY block via elem stats
+        spec2 = col("tokens").contains(10_000_000)
+        assert blocks.filter(spec2.keep_blocks()).count() == 0
+        # any_gt with impossible bound also prunes all
+        assert blocks.filter(
+            col("tokens").any_cmp("gt", 10_000_000).keep_blocks()
+        ).count() == 0
+        # Not(exists) conservatively keeps (t-side is never certain)
+        assert blocks.filter((~spec).keep_blocks()).count() == total
+        got_not = {r.doc_id for r in scan(blocks, TOKEN_SCHEMA, where=~spec,
+                                          columns=["doc_id"]).collect()}
+        exp_not = {r.doc_id for r in df.filter(
+            ~F.array_contains("tokens", 77777)).select("doc_id").collect()}
+        assert got_not == exp_not
+        blocks.unpersist()
+        df.unpersist()
+
+    def test_nan_elements_never_skipped(self, spark):
+        import math
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2]), (2, [float("nan"), 0.1]), (3, [0.3, 0.4])],
+            "id long, v array<double>",
+        )
+        schema = arrow_schema_of(df)
+        blocks = encode_table(df, parts=1, block_rows=4)
+        # Spark: exists(v, x -> x > 100) is TRUE for the NaN row
+        got = scan(blocks, schema, where=col("v").any_cmp("gt", 100.0),
+                   columns=["id"]).collect()
+        assert [r.id for r in got] == [2]
