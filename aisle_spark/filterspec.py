@@ -682,6 +682,106 @@ class ArrayAny(Spec):
 
 
 @dataclass(frozen=True)
+class ArrayLen(Spec):
+    """``size(col) op value`` over a list column, pruned via the per-block
+    ``{col}__len_min/len_max`` stats. Unlike ArrayAny this one is two-
+    sided: every non-null row has a definite length, so both tri sides
+    follow the ordinary Cmp interval rules (null rows excluded via the
+    null count, exactly as for scalar Cmp)."""
+
+    col: str
+    op: str
+    value: int
+
+    def _stats(self):
+        return (
+            _sc(f"{self.col}__len_min"),
+            _sc(f"{self.col}__len_max"),
+            _sc(f"{self.col}__nulls"),
+        )
+
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        smin, smax, nulls = self._stats()
+        v = F.lit(int(self.value))
+        no_nulls = F.coalesce(nulls, F.lit(0)) == 0
+        op = self.op
+        if op == "eq":
+            f = (smin > v) | (smax < v)
+            t = (smin == v) & (smax == v) & no_nulls
+        elif op == "ne":
+            f = (smin == v) & (smax == v) & no_nulls
+            t = ((smin > v) | (smax < v)) & no_nulls
+        elif op == "lt":
+            f, t = smin >= v, (smax < v) & no_nulls
+        elif op == "le":
+            f, t = smin > v, (smax <= v) & no_nulls
+        elif op == "gt":
+            f, t = smax <= v, (smin > v) & no_nulls
+        elif op == "ge":
+            f, t = smax < v, (smin >= v) & no_nulls
+        else:  # pragma: no cover
+            raise ValueError(op)
+        return Tri(_c(t), _c(f))
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        smin, smax, nulls = self._stats()
+        v = F.lit(int(self.value))
+        op = self.op
+        if op == "eq":
+            return _or_null(smin <= v, smin) & _or_null(smax >= v, smax)
+        if op == "ne":
+            return (
+                _or_null(smin != v, smin)
+                | _or_null(smax != v, smax)
+                | _or_null(nulls != 0, nulls)
+            )
+        if op == "lt":
+            return _or_null(smin < v, smin)
+        if op == "le":
+            return _or_null(smin <= v, smin)
+        if op == "gt":
+            return _or_null(smax > v, smax)
+        if op == "ge":
+            return _or_null(smax >= v, smax)
+        raise ValueError(op)  # pragma: no cover
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        smin, smax, nulls = self._stats()
+        v = F.lit(int(self.value))
+        has_nulls = _or_null(nulls != 0, nulls)
+        op = self.op
+        if op == "eq":
+            return _or_null(smin != v, smin) | _or_null(smax != v, smax) | has_nulls
+        if op == "ne":
+            return (
+                _or_null(smin <= v, smin) & _or_null(smax >= v, smax)
+            ) | has_nulls
+        if op == "lt":
+            return _or_null(smax >= v, smax) | has_nulls
+        if op == "le":
+            return _or_null(smax > v, smax) | has_nulls
+        if op == "gt":
+            return _or_null(smin <= v, smin) | has_nulls
+        if op == "ge":
+            return _or_null(smin < v, smin) | has_nulls
+        raise ValueError(op)  # pragma: no cover
+
+    def residual(self) -> Column:
+        c = F.size(F.col(self.col))
+        v = F.lit(int(self.value))
+        return {
+            "eq": c == v, "ne": c != v, "lt": c < v,
+            "le": c <= v, "gt": c > v, "ge": c >= v,
+        }[self.op]
+
+    def to_sql(self) -> str:
+        return f"len({self.col}) {Cmp._SQL_OP[self.op]} {int(self.value)}"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
 class And(Spec):
     parts: list
 
@@ -875,6 +975,10 @@ class col:
     def contains(self, v):
         """EXISTS element == v (list columns; elem-stats pruned)."""
         return ArrayAny(self.name, "eq", v)
+
+    def size_cmp(self, op: str, v: int):
+        """size(col) op v over a list column (len-stats pruned)."""
+        return ArrayLen(self.name, op, v)
 
     def any_cmp(self, op: str, v):
         """EXISTS element ``op`` v, op in eq/ne/lt/le/gt/ge."""

@@ -178,3 +178,36 @@ class TestArrayAny:
         got = scan(blocks, schema, where=col("v").any_cmp("gt", 100.0),
                    columns=["id"]).collect()
         assert [r.id for r in got] == [2]
+
+
+class TestArrayLen:
+    def test_size_cmp_matches_spark(self, spark):
+        import pyarrow as pa
+
+        from pyspark.sql import functions as F
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import encode_table, scan
+        from aisle_spark.schema import TOKEN_SCHEMA, synth_batch
+
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(0, 3000)])).cache()
+        blocks = encode_table(
+            df, parts=2, block_rows=256, sort_cols=["n_tok"]
+        ).cache()
+        total = blocks.count()
+        for op, ref in [
+            ("gt", F.size("tokens") > 100),
+            ("eq", F.size("tokens") == 1),
+            ("le", F.size("tokens") <= 3),
+        ]:
+            v = {"gt": 100, "eq": 1, "le": 3}[op]
+            spec = col("tokens").size_cmp(op, v)
+            got = {r.doc_id for r in scan(blocks, TOKEN_SCHEMA, where=spec,
+                                          columns=["doc_id"]).collect()}
+            exp = {r.doc_id for r in df.filter(ref).select("doc_id").collect()}
+            assert got == exp, op
+        # sorted by n_tok == list length => the length point query prunes
+        kept = blocks.filter(col("tokens").size_cmp("gt", 8000).keep_blocks()).count()
+        assert kept < total
+        blocks.unpersist()
+        df.unpersist()
