@@ -18,7 +18,7 @@ SOURCES = ["web", "books", "code", "wiki", "forums", "nope"]
 
 
 def _rand_leaf(rng: random.Random) -> Spec:
-    kind = rng.randrange(6)
+    kind = rng.randrange(8)
     if kind == 0:
         op = rng.choice(["eq", "ne", "lt", "le", "gt", "ge"])
         return Cmp("n_tok", op, rng.randrange(0, 200))
@@ -30,6 +30,15 @@ def _rand_leaf(rng: random.Random) -> Spec:
         return col("source").isin(*rng.sample(SOURCES, rng.randrange(1, 4)))
     if kind == 4:
         return col("doc_id").startswith(rng.choice(["web-", "c", "books-0", "zzz", ""]))
+    if kind == 5:
+        # list-element exists (one-sided tri) — incl. out-of-vocab values
+        return col("tokens").contains(
+            rng.choice([7, 19, 4242, 9001, 77777, 123, 999_999])
+        )
+    if kind == 6:
+        return col("tokens").size_cmp(
+            rng.choice(["eq", "ne", "lt", "le", "gt", "ge"]), rng.randrange(0, 300)
+        )
     return col("n_tok").is_not_null() if rng.random() < 0.5 else col("n_tok").is_null()
 
 
