@@ -459,7 +459,14 @@ def decode_block_filtered(
         list(pred_arrays.values()),
         schema=pa.schema([pa.field(c, by_name[c].arrow_type) for c in pred_cols]),
     )
-    mask = row_mask(where, pred_batch)
+    try:
+        mask = row_mask(where, pred_batch)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        # literal/column type combo the Arrow kernels can't express with
+        # Spark semantics — let the single source of truth (the Catalyst
+        # residual after decode) evaluate it instead of risking a mask
+        # that disagrees (ADVICE r2 high)
+        return decode_block(specs, row, columns)
     n = pred_batch.num_rows
     sel = np.flatnonzero(mask)
     if sel.size > n * select_threshold:

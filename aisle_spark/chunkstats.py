@@ -131,28 +131,55 @@ def chunk_stats_string(arr: pa.Array, n: int) -> dict:
 
 
 def _lit_num(v, spec_obj):
-    """Predicate literal -> the numeric domain the chunk arrays use.
-    Returns None when the literal can't be exactly represented (then the
-    leaf is Unknown — conservative, never a wrong skip)."""
+    """Predicate literal -> the numeric domain the chunk arrays use, or
+    None unless the literal's Python type EXACTLY matches the column's
+    stat domain (then the leaf is Unknown — conservative, never a wrong
+    skip). Truncating coercion must never happen here (ADVICE r2 high):
+    ``int(3.5)`` on an int column, or a datetime literal converted to µs
+    against date32 stats stored in DAYS, turns Unknown into a wrong
+    definitely-false and silently drops matching rows."""
     import decimal as _decimal
 
-    if spec_obj.kind == "decimal":
-        if not isinstance(v, _decimal.Decimal):
+    kind = spec_obj.kind
+    if kind == "decimal":
+        if isinstance(v, bool) or not isinstance(v, (int, _decimal.Decimal)):
             return None
-        unscaled = v.scaleb(spec_obj.arrow_type.scale)
+        unscaled = _decimal.Decimal(v).scaleb(spec_obj.arrow_type.scale)
         if unscaled != int(unscaled):  # more precision than the column
             return None
         return int(unscaled)
-    if isinstance(v, bool):
-        return int(v)
-    if isinstance(v, _dt.datetime):
+    if kind == "float":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return float(v)
+    if kind == "timestamp":
+        if not isinstance(v, _dt.datetime):
+            return None
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         d = v - _EPOCH  # exact integer µs — float total_seconds() rounds
         return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
-    if isinstance(v, _dt.date):
-        return (v - _EPOCH_DATE).days
-    if isinstance(v, _dt.timedelta):
+    if kind == "duration":
+        if not isinstance(v, _dt.timedelta):
+            return None
         return (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
-    return v
+    if kind == "int":
+        import pyarrow as _pa
+
+        if _pa.types.is_date(spec_obj.arrow_type):
+            # date32 stats are DAYS; datetime (a date SUBCLASS) carries
+            # time-of-day and belongs to a different comparison domain
+            if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
+                return None
+            return (v - _EPOCH_DATE).days
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float) and v.is_integer() and abs(v) <= 2.0**62:
+            return int(v)  # integral float: the int comparison is exact
+        return None
+    return None
 
 
 def _leaf_arrays(row: dict, c: str):

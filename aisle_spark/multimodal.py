@@ -89,12 +89,16 @@ def decode_media(payload: bytes, kind: str):
 
 
 def _fake_features(payloads: pd.Series) -> np.ndarray:
-    """Deterministic stand-in for a vision/audio encoder, FULLY vectorized
-    (the round-1 per-item crc32+RNG loop must not survive into a real
-    encoder path): one FNV pass over the concatenated byte buffer gives
-    two 64-bit digests per item, expanded to FEATURE_DIM lanes with a
-    splitmix finalizer and mapped to (-1, 1). Stable across runs, batch
-    boundaries, and parallelism — a pure function of the payload bytes."""
+    """Deterministic stand-in for a vision/audio encoder: an FNV pass over
+    the concatenated byte buffer (vectorized by byte position, prefix-
+    bounded) plus one C-level crc32 pass over each FULL payload — the crc
+    makes the digest a pure function of ALL payload bytes, so two media
+    items sharing a 64-byte prefix and equal length still get distinct
+    embeddings (ADVICE r2 low). The two 64-bit digests per item expand to
+    FEATURE_DIM lanes with a splitmix finalizer, mapped to (-1, 1). Stable
+    across runs, batch boundaries, and parallelism."""
+    import zlib
+
     from aisle_spark.codecs.bloom import _fnv_pair_vec
 
     n = len(payloads)
@@ -104,6 +108,11 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
     data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
     lengths = np.fromiter((len(p) for p in blobs), dtype=np.int64, count=n)
     h1, h2 = _fnv_pair_vec(lengths, data)
+    crc = np.fromiter(
+        (zlib.crc32(p) for p in blobs), dtype=np.uint64, count=n
+    )  # whole-buffer sensitivity; one C call per item, no Python byte loops
+    h1 = (h1 ^ crc) * np.uint64(0x100000001B3)
+    h2 = (h2 ^ (crc + np.uint64(0x9E3779B9))) * np.uint64(0x100000001B3)
     lane = np.arange(1, FEATURE_DIM + 1, dtype=np.uint64)
     mix = h1[:, None] + lane[None, :] * h2[:, None]
     mix ^= mix >> np.uint64(33)

@@ -443,7 +443,13 @@ def encode_files_direct(
             "wall_sec": round(wall, 4),
             "rows_per_sec": round(total_rows / wall, 1) if wall > 0 else 0.0,
         }
-        skey = f"{zlib.crc32('|'.join(sorted(inputs)).encode()):08x}"
+        # collision-resistant sidecar key (ADVICE r2 medium): a 32-bit
+        # crc32 over ~1e5 input sets has tens-of-percent birthday collision
+        # odds, and a collision silently drops one input's blocks from the
+        # rebuilt manifest
+        import hashlib
+
+        skey = hashlib.sha256("|".join(sorted(inputs)).encode()).hexdigest()[:24]
         dtmp = os.path.join(out_path, "_done", f".{skey}.json.tmp{attempt}")
         with open(dtmp, "w") as fh:
             json.dump(meta, fh)
@@ -697,7 +703,9 @@ def scan(
     if where is not None:
         # ship the per-chunk stat arrays of predicate columns into the
         # reader so it can skip chunks (page-index analog) before decode
-        chunk_kinds = ("int", "timestamp", "float", "string", "decimal")
+        chunk_kinds = (
+            "int", "timestamp", "duration", "float", "string", "binary", "decimal",
+        )
         for c in pred_leaves:
             s = next((s for s in specs if s.name == c), None)
             if s is not None and s.kind in chunk_kinds:

@@ -21,6 +21,7 @@ residual (ADVICE r1):
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 
 import numpy as np
@@ -56,6 +57,23 @@ def _lit(v, typ: pa.DataType):
     return pa.scalar(v, type=typ)
 
 
+def _promote(c, v):
+    """Spark's implicit comparison casts, applied to the COLUMN so this
+    mask agrees with the Catalyst residual (which it must match EXACTLY —
+    rows it drops are gone): integer/decimal column vs float literal
+    compares as double; date32 column vs datetime literal compares as
+    timestamp (UTC-midnight cast — scan() enforces a UTC session when
+    datetime literals are present). Any combination not handled here makes
+    ``pa.scalar(v, c.type)`` raise, which decode_block_filtered catches by
+    falling back to full decode + Catalyst residual (ADVICE r2 high)."""
+    is_float_lit = isinstance(v, float) and not isinstance(v, bool)
+    if is_float_lit and (pa.types.is_integer(c.type) or pa.types.is_decimal(c.type)):
+        return c.cast(pa.float64())
+    if isinstance(v, _dt.datetime) and pa.types.is_date(c.type):
+        return c.cast(pa.timestamp("us"))
+    return c
+
+
 def _is_nan_lit(v) -> bool:
     return isinstance(v, float) and math.isnan(v)
 
@@ -84,15 +102,17 @@ def _float_cmp(c, op: str, v: float):
 
 def _eval(spec: Spec, batch: pa.RecordBatch) -> pa.Array:
     if isinstance(spec, Cmp):
-        c = batch.column(spec.col)
+        c = _promote(batch.column(spec.col), spec.value)
         if pa.types.is_floating(c.type):
-            return _float_cmp(c, spec.op, spec.value)
+            return _float_cmp(c, spec.op, float(spec.value))
         return _CMP_KERNELS[spec.op](c, _lit(spec.value, c.type))
     if isinstance(spec, Between):
         c = batch.column(spec.col)
+        c = _promote(_promote(c, spec.low), spec.high)
         if pa.types.is_floating(c.type):
             return pc.and_kleene(
-                _float_cmp(c, "ge", spec.low), _float_cmp(c, "le", spec.high)
+                _float_cmp(c, "ge", float(spec.low)),
+                _float_cmp(c, "le", float(spec.high)),
             )
         return pc.and_kleene(
             pc.greater_equal(c, _lit(spec.low, c.type)),
@@ -100,6 +120,8 @@ def _eval(spec: Spec, batch: pa.RecordBatch) -> pa.Array:
         )
     if isinstance(spec, InList):
         c = batch.column(spec.col)
+        for v in spec.values:
+            c = _promote(c, v)
         if pa.types.is_floating(c.type):
             vals = [v for v in spec.values if not _is_nan_lit(v)]
             out = pc.is_in(c, value_set=pa.array(vals, type=c.type))

@@ -205,3 +205,63 @@ class TestLongValueStatBounds:
             exp = {r.id for r in df.filter(ref).select("id").collect()}
             assert got == exp, f"{spec!r}"
         blocks.unpersist()
+
+
+class TestLiteralDomainGuard:
+    """ADVICE r2 high: type-mismatched predicate literals must make the
+    chunk layer Unknown (keep), never a truncated wrong definitely-false —
+    and the full scan must still return the exact rows."""
+
+    def test_nonintegral_float_on_int_column_keeps(self):
+        specs, row = _block({"x": pa.array(np.full(N, 3, dtype=np.int64))})
+        keep = chunk_keep(col("x") < 3.5, row, _kinds(specs), N)
+        assert keep.all()  # int(3.5)=3 would have skipped every chunk
+
+    def test_integral_float_on_int_column_is_exact(self):
+        specs, row = _block({"x": pa.array(np.arange(N, dtype=np.int64))})
+        keep = chunk_keep(col("x") == 1000.0, row, _kinds(specs), N)
+        assert keep.sum() == 1 and keep[1000 // ROW_CHUNK]
+
+    def test_datetime_literal_on_date32_column_keeps(self):
+        v = pa.array([dt.date(2024, 1, 1 + i % 28) for i in range(N)])
+        specs, row = _block({"d": v})
+        # date32 stats are DAYS; a µs conversion would skip everything
+        keep = chunk_keep(col("d") > dt.datetime(1980, 1, 1), row, _kinds(specs), N)
+        assert keep.all()
+
+    def test_date_literal_on_date32_column_prunes_exactly(self):
+        v = pa.array(
+            [dt.date(2024, 1, 1) + dt.timedelta(days=i // ROW_CHUNK) for i in range(N)]
+        )
+        specs, row = _block({"d": v})
+        keep = chunk_keep(col("d") == dt.date(2024, 1, 3), row, _kinds(specs), N)
+        assert list(np.flatnonzero(keep)) == [2]
+
+    def test_timedelta_on_int_column_keeps(self):
+        specs, row = _block({"x": pa.array(np.arange(N, dtype=np.int64))})
+        keep = chunk_keep(col("x") < dt.timedelta(seconds=1), row, _kinds(specs), N)
+        assert keep.all()
+
+    def test_scan_float_literal_on_int_column_end_to_end(self, spark):
+        from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+        df = spark.createDataFrame([(i, 3) for i in range(1000)], "id long, x long")
+        schema = arrow_schema_of(df)
+        blocks = encode_table(df, parts=2, block_rows=256, sort_cols=["x"]).cache()
+        assert scan(blocks, schema, where=col("x") < 3.5, columns=["id"]).count() == 1000
+        assert scan(blocks, schema, where=col("x") > 3.5, columns=["id"]).count() == 0
+        assert scan(blocks, schema, where=col("x") <= 3.0, columns=["id"]).count() == 1000
+        blocks.unpersist()
+
+    def test_scan_datetime_literal_on_date_column_end_to_end(self, spark):
+        rows = [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 30)) for i in range(1000)]
+        from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+        df = spark.createDataFrame(rows, "id long, d date")
+        schema = arrow_schema_of(df)
+        blocks = encode_table(df, parts=2, block_rows=256, sort_cols=["d"]).cache()
+        got = scan(
+            blocks, schema, where=col("d") > dt.datetime(1980, 1, 1), columns=["id"]
+        ).count()
+        assert got == 1000
+        blocks.unpersist()

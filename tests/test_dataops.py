@@ -128,3 +128,19 @@ def test_dedup_cosine_near_is_equi_join_and_sane(views):
     out = df.toPandas()
     assert (out["id_a"] < out["id_b"]).all()
     assert out["cos_sim"].between(0.30, 1.0 + 1e-9).all()
+
+
+def test_fake_features_full_payload_sensitivity():
+    # ADVICE r2 low: payloads sharing a 64-byte prefix and equal length
+    # must still embed differently (whole-buffer digest, not prefix-only)
+    import numpy as np
+    import pandas as pd
+
+    from aisle_spark.multimodal import _fake_features
+
+    base = b"p" * 64
+    a = base + b"A" * 100
+    b = base + b"B" * 100
+    feats = _fake_features(pd.Series([a, b, a]))
+    assert not np.array_equal(feats[0], feats[1])
+    assert np.array_equal(feats[0], feats[2])  # still deterministic
