@@ -97,6 +97,49 @@ def _docs_with_binary(df: DataFrame) -> DataFrame:
     )
 
 
+def _events_props_map(df: DataFrame) -> DataFrame:
+    # the events.props JSON string as a REAL map column: dotted map-path
+    # predicates (/root/reference/tests/prune_list_map.rs map half) over
+    # per-block key-set + per-key min/max evidence
+    return df.withColumn("props", F.from_json(F.col("props"), "map<string,bigint>"))
+
+
+def _events_key_map(df: DataFrame) -> DataFrame:
+    # map keyed BY event_type: with blocks sorted on event_type, the
+    # key-absence evidence (key not in the block's sorted key set =>
+    # definitely false) prunes every non-matching block
+    return df.withColumn(
+        "props2", F.create_map(F.col("event_type"), F.col("user_id"))
+    )
+
+
+def _docs_struct_list(df: DataFrame) -> DataFrame:
+    # list nested under a struct (VERDICT r2 #3; the reference resolves
+    # these via visit_field, /root/reference/src/compile.rs:369-518), with
+    # NULL structs injected so the __defined chain faces real nulls
+    return df.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("n_chars") % 17 == 0, None)
+        .otherwise(
+            F.struct(
+                F.col("lang"),
+                F.sequence(F.lit(1), (F.col("n_chars") % 40 + 1).cast("int")).alias(
+                    "toks"
+                ),
+            )
+        )
+        .alias("meta"),
+    )
+
+
+def _docs_with_toks(df: DataFrame) -> DataFrame:
+    # variable-length int list => len_min/len_max stats drive ArrayLen
+    return df.withColumn(
+        "toks", F.sequence(F.lit(1), (F.col("n_chars") % 50 + 1).cast("int"))
+    )
+
+
 def _li_decimal(df: DataFrame) -> DataFrame:
     # money as DECIMAL, not double — the unscaled-int64 codec/stats path
     # (/root/reference/src/prune/stats.rs:365-410, tests/decimal_support.rs)
@@ -133,6 +176,23 @@ _VARIANT_BASE = {
         "CASE WHEN n_chars % 17 = 0 THEN NULL "
         "ELSE struct_pack(lang := lang, source := source) END AS meta "
         f"FROM {table})"
+    ),
+    # map variants: the ORACLE keeps the raw shape (JSON string / plain
+    # columns) — the predicate's sql_expr override extracts the value, so
+    # the comparison checks the engine's map encode/prune/decode against
+    # DuckDB evaluating the same semantics on the untouched source
+    "propsmap": lambda table: table,
+    "keymap": lambda table: table,
+    "toks": lambda table: (
+        "(SELECT doc_id, text, lang, source, n_chars, "
+        "range(1, (n_chars % 50) + 2) AS toks "
+        f"FROM {table})"
+    ),
+    "slist": lambda table: (
+        "(SELECT doc_id, n_chars, "
+        "CASE WHEN n_chars % 17 = 0 THEN NULL "
+        "ELSE struct_pack(lang := lang, toks := range(1, (n_chars % 40) + 2)) "
+        f"END AS meta FROM {table})"
     ),
 }
 
@@ -278,6 +338,52 @@ _SPECS: dict[str, tuple] = {
     "events_null_isnotnull_range": (
         "events", _EV_SORT, col("value").is_not_null() & (col("value") > 400.0),
         ["event_id", "value"], "nulls", _events_with_nulls,
+    ),
+    # map dotted-path VALUE-range predicate: events.props parsed to a real
+    # map<string,bigint>; oracle json-extracts from the raw JSON string
+    "events_props_map_eq": (
+        "events",
+        _EV_SORT,
+        col("props").map_key(
+            "k", sql_expr="CAST(json_extract_string(props, '$.k') AS BIGINT)"
+        )
+        >= 80,
+        ["event_id", "user_id"],
+        "propsmap",
+        _events_props_map,
+    ),
+    # map KEY-ABSENCE predicate: map keyed by event_type, blocks sorted on
+    # event_type => non-'click' blocks are definitely-false via the key set
+    "events_map_key_absent": (
+        "events",
+        _EV_SORT,
+        col("props2").map_key(
+            "click", sql_expr="(CASE WHEN event_type = 'click' THEN user_id END)"
+        )
+        >= 0,
+        ["event_id", "event_type", "user_id"],
+        "keymap",
+        _events_key_map,
+    ),
+    # list nested INSIDE a struct: elem-stats pruning on the dotted leaf
+    # meta.toks, residual as Spark-native nested access + exists()
+    "scan_struct_list_any": (
+        "documents",
+        ["meta.lang", "n_chars"],
+        col("meta.toks").any_cmp("gt", 35) & (col("n_chars") > 300),
+        ["doc_id", "n_chars"],
+        "slist",
+        _docs_struct_list,
+    ),
+    # list-length predicate over len_min/len_max stats (ArrayLen,
+    # VERDICT r2 #7: the one operator without a driver-gated row)
+    "scan_array_len_le": (
+        "documents",
+        _DOC_SORT,
+        col("toks").size_cmp("le", 20) & (col("source") == "src5"),
+        ["doc_id", "n_chars"],
+        "toks",
+        _docs_with_toks,
     ),
 }
 

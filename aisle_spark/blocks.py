@@ -124,6 +124,162 @@ def _decimal_array(t: pa.DataType, n: int, valid, vals: np.ndarray) -> pa.Array:
 
 
 # ---------------------------------------------------------------------------
+# map columns (string-keyed): payload + per-key stats
+# ---------------------------------------------------------------------------
+
+
+def _map_as_list(arr: pa.Array, t: pa.DataType) -> pa.Array:
+    """View a MapArray as list<struct<key,value>> (value_lengths/flatten
+    have no map kernels)."""
+    entry_t = pa.struct(
+        [
+            pa.field("key", t.key_type, nullable=False),
+            pa.field("value", t.item_type),
+        ]
+    )
+    return arr.cast(pa.list_(pa.field("entries", entry_t, nullable=False)))
+
+
+def _encode_map(spec: ColumnSpec, arr: pa.Array) -> tuple[bytes, dict, int]:
+    """Encode a map column: entry counts (int codec) | keys (string codec)
+    | item validity | items (value-kind codec). Stats are the per-block
+    sorted distinct KEY SET plus per-key value min/max — the map half of
+    the reference's dotted-path pruning (/root/reference/src/prune/
+    stats.rs:412-488, tests/prune_list_map.rs): a key absent from a
+    present key set occurs in NO row (definitely false), and per-key
+    ranges prune value predicates. All three stat arrays go NULL above
+    MAP_KEYS_MAX keys (exact-or-nothing, like the dictionary hint).
+    Per-key stats of NaN-bearing float keys are NULL (Unknown)."""
+    import pyarrow.compute as pc
+
+    from aisle_spark.filterspec import truncate_stat_max, truncate_stat_min
+    from aisle_spark.schema import MAP_KEYS_MAX, map_value_kind
+
+    t = spec.arrow_type
+    vkind = map_value_kind(t)
+    nn = _map_as_list(arr, t).drop_null()
+    lens = (
+        nn.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nn)
+        else np.zeros(0, dtype=np.int64)
+    )
+    flat = nn.flatten()
+    keys, items = flat.field(0), flat.field(1)
+    klen, kdata = parts_from_arrow(keys)
+    ivalid, _ = _validity(items)
+    if vkind == "int":
+        it = items.cast(pa.uint8()) if pa.types.is_boolean(t.item_type) else items
+        ivals = it.drop_null().to_numpy(zero_copy_only=False)
+        items_body = encode_ints(ivals)
+        items_raw = ivals.nbytes
+    elif vkind == "float":
+        ivals = items.drop_null().to_numpy(zero_copy_only=False)
+        items_body = encode_floats(ivals)
+        items_raw = ivals.nbytes
+    else:
+        slen, sdata = parts_from_arrow(items.drop_null())
+        items_body = encode_strings(slen, sdata)
+        items_raw = int(sdata.size)
+    lens_body = encode_ints(lens)
+    keys_body = encode_strings(klen, kdata)
+    parts = [
+        struct.pack("<I", len(lens_body)),
+        lens_body,
+        struct.pack("<I", len(keys_body)),
+        keys_body,
+    ]
+    if ivalid is None:
+        parts.append(b"\x00")
+    else:
+        parts.append(b"\x01")
+        parts.append(np.packbits(ivalid, bitorder="little").tobytes())
+    parts.append(items_body)
+
+    stats: dict = {"keys": None, "kmin": None, "kmax": None}
+    if len(keys) == 0:
+        # no entries at all: the EMPTY key set is exact evidence — any
+        # key predicate is definitely false for this block
+        stats = {"keys": [], "kmin": [], "kmax": []}
+    elif len(pc.unique(keys)) <= MAP_KEYS_MAX:
+        stat_items = (
+            items.cast(pa.int64())
+            if vkind == "int"
+            else items.cast(pa.float64())
+            if vkind == "float"
+            else items
+        )
+        tbl = pa.table({"k": keys, "v": stat_items})
+        aggs = [("v", "min"), ("v", "max")]
+        if vkind == "float":
+            tbl = tbl.append_column("nan", pc.fill_null(pc.is_nan(items), False))
+            aggs.append(("nan", "max"))
+        agg = tbl.group_by("k").aggregate(aggs).sort_by("k")
+        ks = agg.column("k").to_pylist()
+        mins = agg.column("v_min").to_pylist()
+        maxs = agg.column("v_max").to_pylist()
+        if vkind == "float":
+            nans = agg.column("nan_max").to_pylist()
+            mins = [None if nz else m for m, nz in zip(mins, nans)]
+            maxs = [None if nz else m for m, nz in zip(maxs, nans)]
+        elif vkind == "string":
+            mins = [truncate_stat_min(m) for m in mins]
+            maxs = [truncate_stat_max(m) for m in maxs]
+        stats = {"keys": ks, "kmin": mins, "kmax": maxs}
+    raw = int(kdata.size) + items_raw + 8 * len(arr)
+    return b"".join(parts), stats, raw
+
+
+def _decode_map(spec: ColumnSpec, n: int, valid, body: memoryview) -> pa.Array:
+    from aisle_spark.schema import map_value_kind
+
+    t = spec.arrow_type
+    vkind = map_value_kind(t)
+    (ll,) = struct.unpack_from("<I", body, 0)
+    lens = decode_ints(body[4 : 4 + ll]).astype(np.int64)
+    off = 4 + ll
+    (kl,) = struct.unpack_from("<I", body, off)
+    off += 4
+    klen, kdata = decode_strings(body[off : off + kl])
+    off += kl
+    n_entries = int(lens.sum())
+    ivalid = None
+    if body[off] & 1:
+        nb = (n_entries + 7) // 8
+        ivalid = np.unpackbits(
+            np.frombuffer(body[off + 1 : off + 1 + nb], dtype=np.uint8),
+            count=n_entries,
+            bitorder="little",
+        ).astype(bool)
+        off += nb
+    off += 1
+    items_body = body[off:]
+    keys_arr = _string_array(t.key_type, n_entries, None, klen, kdata)
+    if vkind == "string":
+        slen, sdata = decode_strings(items_body)
+        items_arr = _string_array(t.item_type, n_entries, ivalid, slen, sdata)
+    else:
+        vals = (
+            decode_floats(items_body) if vkind == "float" else decode_ints(items_body)
+        )
+        items_arr = _primitive_array(t.item_type, n_entries, ivalid, vals)
+    entries = pa.StructArray.from_arrays(
+        [keys_arr, items_arr],
+        fields=[
+            pa.field("key", t.key_type, nullable=False),
+            pa.field("value", t.item_type),
+        ],
+    )
+    full_lens = _expand(n, valid, lens)
+    offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(np.int32)
+    return pa.Array.from_buffers(
+        t,
+        n,
+        [_validity_buf(n, valid), pa.py_buffer(offsets.tobytes())],
+        children=[entries],
+    )
+
+
+# ---------------------------------------------------------------------------
 # encode one column chunk -> dict of block-row fields
 # ---------------------------------------------------------------------------
 
@@ -208,6 +364,10 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         out[f"{c}__chunk_min"], out[f"{c}__chunk_max"] = cs["min"], cs["max"]
         out[f"{c}__chunk_nulls"] = cs["nulls"]
         raw = int(lengths.sum()) + 8 * n
+    elif spec.kind == "map":
+        body, stats, raw = _encode_map(spec, arr)
+        out[f"{c}__codec"] = "map"
+        out.update({f"{c}__{k}": v for k, v in stats.items()})
     elif spec.kind in ("intlist", "floatlist"):
         nn = arr.drop_null()
         flat = nn.flatten()
@@ -313,6 +473,8 @@ def decode_column(spec: ColumnSpec, payload: bytes | memoryview) -> pa.Array:
         if spec.kind == "floatlist":
             vals = vals.view(np.float32 if vals.dtype == np.int32 else np.float64)
         return _list_array(t, n, valid, list_lens, vals)
+    if spec.kind == "map":
+        return _decode_map(spec, n, valid, body)
     raise TypeError(spec.kind)  # pragma: no cover
 
 
@@ -438,7 +600,11 @@ def decode_block_filtered(
 
     by_name = {s.name: s for s in specs}
     pred_cols = sorted(where.columns())
-    if any(by_name[c].kind in ("intlist", "floatlist") for c in pred_cols if c in by_name):
+    if any(
+        by_name[c].kind in ("intlist", "floatlist", "map")
+        for c in pred_cols
+        if c in by_name
+    ):
         return decode_block(specs, row, columns)
 
     # page-index analog: evaluate the chunk-level tri-state from the

@@ -782,6 +782,108 @@ class ArrayLen(Spec):
 
 
 @dataclass(frozen=True)
+class MapKeyCmp(Spec):
+    """``element_at(col, key) op value`` over a string-keyed map column —
+    the map half of the reference's dotted-path pruning
+    (/root/reference/tests/prune_list_map.rs, src/prune/stats.rs:412-488,
+    coerced key_value aliases src/compile.rs:239-366).
+
+    Evidence per block: the sorted distinct KEY SET (a key absent from a
+    present set occurs in NO row => every row evaluates NULL => definitely
+    false) and per-key value min/max via ``element_at(map_from_arrays(
+    keys, kmin/kmax), key)`` — pure Catalyst, no Python in the manifest
+    filter. All three stats are NULL above MAP_KEYS_MAX keys (Unknown).
+    One-sided like ArrayAny: a row without the key evaluates NULL, and
+    stats cannot exclude key-less rows, so the t-side is never certain
+    and ``Not(MapKeyCmp)`` conservatively keeps.
+
+    ``sql_expr`` optionally overrides the oracle-side access expression
+    (e.g. JSON extraction when the oracle table stores the map as JSON
+    text); the default is DuckDB map access."""
+
+    col: str
+    key: str
+    op: str  # eq ne lt le gt ge
+    value: object
+    sql_expr: str | None = None
+
+    def _kstats(self):
+        keys = _sc(f"{self.col}__keys")
+        k = F.lit(self.key)
+        kmin = F.element_at(F.map_from_arrays(keys, _sc(f"{self.col}__kmin")), k)
+        kmax = F.element_at(F.map_from_arrays(keys, _sc(f"{self.col}__kmax")), k)
+        return keys, kmin, kmax
+
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        keys, kmin, kmax = self._kstats()
+        absent = keys.isNotNull() & ~F.array_contains(keys, F.lit(self.key))
+        v = F.lit(self.value)
+        op = self.op
+        if op == "eq":
+            rng = (kmin > v) | (kmax < v)
+        elif op == "ne":
+            # all present values == v => ne is FALSE for key-bearing rows
+            # and NULL for the rest: no row TRUE (null values for the key
+            # evaluate NULL too, so the min==max==v evidence stays sound)
+            rng = (kmin == v) & (kmax == v)
+        elif op == "lt":
+            rng = kmin >= v
+        elif op == "le":
+            rng = kmin > v
+        elif op == "gt":
+            rng = kmax <= v
+        elif op == "ge":
+            rng = kmax < v
+        else:  # pragma: no cover
+            raise ValueError(op)
+        return Tri(F.lit(False), _c(absent | rng))
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        keys, kmin, kmax = self._kstats()
+        out = _or_null(F.array_contains(keys, F.lit(self.key)), keys)
+        v = F.lit(self.value)
+        op = self.op
+        if op == "eq":
+            return out & _or_null(kmin <= v, kmin) & _or_null(kmax >= v, kmax)
+        if op == "ne":
+            return out & (_or_null(kmin != v, kmin) | _or_null(kmax != v, kmax))
+        if op == "lt":
+            return out & _or_null(kmin < v, kmin)
+        if op == "le":
+            return out & _or_null(kmin <= v, kmin)
+        if op == "gt":
+            return out & _or_null(kmax > v, kmax)
+        if op == "ge":
+            return out & _or_null(kmax >= v, kmax)
+        raise ValueError(op)  # pragma: no cover
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(True)  # t-side never certain (key-less rows are NULL)
+
+    def residual(self) -> Column:
+        # try_element_at: missing key -> NULL (plain element_at THROWS
+        # under Spark 4's default ANSI mode)
+        c = F.try_element_at(F.col(self.col), F.lit(self.key))
+        v = F.lit(self.value)
+        return {
+            "eq": c == v,
+            "ne": c != v,
+            "lt": c < v,
+            "le": c <= v,
+            "gt": c > v,
+            "ge": c >= v,
+        }[self.op]
+
+    def to_sql(self) -> str:
+        esc = self.key.replace("'", "''")
+        access = self.sql_expr or f"map_extract({self.col}, '{esc}')[1]"
+        return f"{access} {Cmp._SQL_OP[self.op]} {_sql_lit(self.value)}"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
 class And(Spec):
     parts: list
 
@@ -984,6 +1086,12 @@ class col:
         """EXISTS element ``op`` v, op in eq/ne/lt/le/gt/ge."""
         return ArrayAny(self.name, op, v)
 
+    def map_key(self, key: str, sql_expr: str | None = None):
+        """Reference to ``element_at(col, key)`` of a map column; compare
+        it like a scalar (key-set + per-key-range pruned). ``sql_expr``
+        overrides the oracle-side access expression."""
+        return _MapKeyRef(self.name, key, sql_expr)
+
     def like(self, pattern: str):
         """LIKE-pattern classification, same rules as the reference's
         like_pattern_to_rule (/root/reference/src/compile.rs:700-745):
@@ -999,3 +1107,31 @@ class col:
         if pattern.endswith("%"):
             return StartsWith(self.name, body)
         return Cmp(self.name, "eq", pattern)
+
+
+@dataclass(frozen=True)
+class _MapKeyRef:
+    col: str
+    key: str
+    sql_expr: str | None = None
+
+    def _cmp(self, op: str, v):
+        return MapKeyCmp(self.col, self.key, op, v, self.sql_expr)
+
+    def __eq__(self, v):  # type: ignore[override]
+        return self._cmp("eq", v)
+
+    def __ne__(self, v):  # type: ignore[override]
+        return self._cmp("ne", v)
+
+    def __lt__(self, v):
+        return self._cmp("lt", v)
+
+    def __le__(self, v):
+        return self._cmp("le", v)
+
+    def __gt__(self, v):
+        return self._cmp("gt", v)
+
+    def __ge__(self, v):
+        return self._cmp("ge", v)

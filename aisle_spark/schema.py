@@ -22,7 +22,7 @@ import pyarrow as pa
 from pyspark.sql import types as T
 
 # kinds: "int" (ints/bool/date), "float", "string", "binary", "timestamp",
-# "duration", "decimal", "intlist", "floatlist"
+# "duration", "decimal", "intlist", "floatlist", "map" (string-keyed)
 _ARROW_KINDS = [
     (pa.types.is_boolean, "int"),
     (pa.types.is_integer, "int"),
@@ -56,8 +56,38 @@ class ColumnSpec:
         return self.arrow_type
 
 
+def map_value_kind(t: pa.DataType) -> str:
+    """Codec/stat family of a map's VALUE type ("int" | "float" | "string")."""
+    vt = t.item_type
+    if pa.types.is_integer(vt) or pa.types.is_boolean(vt):
+        return "int"
+    if pa.types.is_floating(vt):
+        return "float"
+    if pa.types.is_string(vt) or pa.types.is_large_string(vt):
+        return "string"
+    raise TypeError(f"unsupported map value type {vt}")
+
+
+def map_stat_type(t: pa.DataType) -> pa.DataType:
+    """Arrow type of the per-key min/max stat entries."""
+    return {"int": pa.int64(), "float": pa.float64(), "string": pa.string()}[
+        map_value_kind(t)
+    ]
+
+
 def spec_for_field(field: pa.Field) -> ColumnSpec:
     t = field.type
+    if pa.types.is_map(t):
+        # string-keyed maps: the reference prunes dotted map paths via
+        # per-key stats (/root/reference/src/prune/stats.rs:412-488,
+        # tests/prune_list_map.rs map half); we mirror with a per-block
+        # sorted key set + per-key value min/max under a cardinality cap
+        if not (
+            pa.types.is_string(t.key_type) or pa.types.is_large_string(t.key_type)
+        ):
+            raise TypeError(f"map key type {t.key_type} unsupported for {field.name}")
+        map_value_kind(t)  # validates the value type
+        return ColumnSpec(field.name, "map", t)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         if pa.types.is_integer(t.value_type):
             return ColumnSpec(field.name, "intlist", t)
@@ -104,9 +134,9 @@ def _specs_for_field(field: pa.Field, prefix: str) -> list[ColumnSpec]:
         specs = [ColumnSpec(f"{name}.__defined", "int", pa.bool_())]
         for i in range(t.num_fields):
             child = t.field(i)
-            if pa.types.is_list(child.type) or pa.types.is_large_list(child.type):
+            if pa.types.is_map(child.type):
                 raise TypeError(
-                    f"list inside struct unsupported: {name}.{child.name}"
+                    f"map inside struct unsupported: {name}.{child.name}"
                 )
             specs.extend(_specs_for_field(child, name + "."))
         return specs
@@ -202,6 +232,12 @@ def assemble_struct(
 # nothing).
 DICT_HINT_MAX = 64
 
+# map-key stats cap: blocks record the sorted distinct key set + per-key
+# value min/max when block key cardinality is <= this; above it all map
+# evidence is NULL (Unknown => keep) — same exact-or-nothing discipline as
+# the dictionary hint (/root/reference/src/prune/dictionary.rs:8-70)
+MAP_KEYS_MAX = 64
+
 
 def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
     """Arrow schema of one encoded-block row (manifest + payload fused)."""
@@ -224,6 +260,16 @@ def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
                 pa.field(f"{c}__elem_max", vt),
                 pa.field(f"{c}__len_min", pa.int64()),
                 pa.field(f"{c}__len_max", pa.int64()),
+            ]
+        elif s.kind == "map":
+            # per-block sorted key set (dict-hint analog: a key absent
+            # from a present set occurs in NO row => definitely false)
+            # + per-key value min/max, all three NULL above MAP_KEYS_MAX
+            st = map_stat_type(s.arrow_type)
+            fields += [
+                pa.field(f"{c}__keys", pa.list_(pa.string())),
+                pa.field(f"{c}__kmin", pa.list_(st)),
+                pa.field(f"{c}__kmax", pa.list_(st)),
             ]
         else:
             fields += [
@@ -298,6 +344,8 @@ def _spark_type(t: pa.DataType) -> T.DataType:
         return T.BinaryType()
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return T.ArrayType(_spark_type(t.value_type), True)
+    if pa.types.is_map(t):
+        return T.MapType(_spark_type(t.key_type), _spark_type(t.item_type), True)
     if pa.types.is_struct(t):
         return T.StructType(
             [

@@ -82,12 +82,90 @@ def test_nested_leaf_stats_and_pruning():
     assert row["meta.score__max"] == 199
 
 
-def test_list_inside_struct_rejected():
+LMETA = pa.struct(
+    [pa.field("lang", pa.string()), pa.field("toks", pa.list_(pa.int32()))]
+)
+LSCHEMA = pa.schema([pa.field("id", pa.int64()), pa.field("meta", LMETA)])
+
+
+def _ltable(n=200, null_every=9):
+    metas = [
+        None
+        if i % null_every == 0
+        else {"lang": ["en", "de"][i % 2], "toks": list(range(i % 6))}
+        for i in range(n)
+    ]
+    return pa.Table.from_arrays(
+        [pa.array(np.arange(n)), pa.array(metas, type=LMETA)], schema=LSCHEMA
+    )
+
+
+def test_list_inside_struct_specs_and_roundtrip():
+    """Lists under structs resolve like any other leaf (VERDICT r2 #3;
+    /root/reference/src/compile.rs:369-518 visit_field resolution)."""
+    specs = specs_for_schema(LSCHEMA)
+    by = {s.name: s.kind for s in specs}
+    assert by["meta.toks"] == "intlist"
+    tbl = _ltable()
+    flat = flatten_table(tbl)
+    row = encode_block(specs, flat, 0, 0)
+    assert row["meta.toks__elem_max"] == 4 and row["meta.toks__len_max"] == 5
+    out = decode_block(specs, row)
+    leaves = {n: out.column(i) for i, n in enumerate(out.schema.names)}
+    arr, _t = assemble_struct(
+        LSCHEMA.field("meta"), "", leaves, set(leaves_under(LSCHEMA, "meta"))
+    )
+    assert arr.to_pylist() == tbl.column("meta").to_pylist()
+
+
+def test_map_inside_struct_rejected():
     bad = pa.schema(
-        [pa.field("m", pa.struct([pa.field("toks", pa.list_(pa.int32()))]))]
+        [pa.field("m", pa.struct([pa.field("p", pa.map_(pa.string(), pa.int64()))]))]
     )
     with pytest.raises(TypeError):
         specs_for_schema(bad)
+
+
+def test_struct_list_predicate_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+    df = spark.range(0, 1500).select(
+        F.col("id"),
+        F.when(F.col("id") % 9 == 0, None)
+        .otherwise(
+            F.struct(
+                F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+                F.sequence(F.lit(1), (F.col("id") % 8 + 1).cast("int")).alias("toks"),
+            )
+        )
+        .alias("meta"),
+    )
+    schema = arrow_schema_of(df)
+    blocks = encode_table(df, parts=2, block_rows=256, sort_cols=["id"]).cache()
+    cases = [
+        (
+            col("meta.toks").any_cmp("gt", 6),
+            F.exists(F.col("meta.toks"), lambda x: x > 6),
+        ),
+        (
+            col("meta.toks").size_cmp("ge", 7) & (col("meta.lang") == "L1"),
+            (F.size(F.col("meta.toks")) >= 7) & (F.col("meta.lang") == "L1"),
+        ),
+    ]
+    for spec, ref in cases:
+        got = sorted(r.id for r in scan(blocks, schema, where=spec, columns=["id"]).collect())
+        exp = sorted(r.id for r in df.filter(ref).select("id").collect())
+        assert got == exp, f"{spec!r}"
+    # projecting the struct returns lists nested inside it intact
+    rt = {
+        r.id: r.meta
+        for r in scan(blocks, schema, columns=["id", "meta"]).collect()
+    }
+    exp = {r.id: r.meta for r in df.collect()}
+    assert rt == exp
+    blocks.unpersist()
 
 
 def test_scan_nested_predicate_end_to_end(spark):
