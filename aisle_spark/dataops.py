@@ -24,7 +24,9 @@ Ops (the large-scale training-pipeline set):
   dedup_lsh_jaccard     exact Jaccard verified ONLY on LSH candidate pairs
                         (the at-scale composition: no all-pairs join)
   dedup_simhash         64-bit banded simhash near-dup pairs with exact
-                        hamming verification (bit_count over band XORs)
+                        hamming verification, thresholded at the banding
+                        recall guarantee (bands-1); band count is a
+                        corpus-size parameter
   dedup_cosine_near     embedding-cosine near-dup pairs verified only on
                         LSH-bucket candidates (never all-pairs)
   ann_dot_topk          brute-force inner-product top-k neighbors (small-n
@@ -32,6 +34,9 @@ Ops (the large-scale training-pipeline set):
   ann_lsh_buckets       random-hyperplane LSH bucketing
   ann_lsh_topk          bucketed top-k: equi-join on LSH bucket, brute
                         force only within buckets
+  ann_multiprobe_topk   bucketed top-k probing the query bucket plus all
+                        hamming-1 buckets, so planes scale with corpus
+                        size (ann_planes_for) without a recall cliff
 """
 
 from __future__ import annotations
@@ -253,44 +258,71 @@ def _hexv(expr: str) -> str:
     )
 
 
-_SIMHASH_HAMMING_MAX = 16
+# banded-simhash geometry (VERDICT r2 #1 "what's wrong"): B bands over the
+# 64-bit signature GUARANTEE a shared band (hence candidacy) only for pairs
+# at hamming <= B-1 (pigeonhole: B differing bits can poison every band).
+# The verify threshold is pinned to that guarantee so the op's contract is
+# exactly "ALL pairs at hamming <= bands-1", never a silent recall cliff.
+# Scale guidance: bucket space is ~2^(64/B) per band — B=4 (16-bit keys,
+# 65,536 buckets) is right up to ~10^7 docs; at 10^8+ move to B=3 or B=2
+# (wider keys => more buckets, smaller guarantee) and run R independently
+# bit-permuted tables to buy recall back (each table is this same op over
+# a permuted signature; candidates are the union).
+SIMHASH_BANDS = 4
+_SIMHASH_HAMMING_MAX = SIMHASH_BANDS - 1
 
 
-def _t_simhash(d, dialect_name: str) -> str:
-    """64-bit simhash with banded near-dup lookup (VERDICT r1 #3): the
-    md5 of each shingle supplies 64 hash bits as four 16-bit bands; per-bit
-    signed majorities give the document signature; candidate pairs share
-    at least one identical band (equi-join — never a scan of the 2^64 key
-    space); exact hamming distance over band XOR popcounts verifies. At
-    corpus scale each stage is a uniform-key shuffle; no monster groups
-    (the 16-bit GROUP BY pitfall this replaces)."""
+def _band_ranges(bands: int) -> list[tuple[int, int]]:
+    """Split the 16 md5 hex digits (64 bits) into ``bands`` contiguous
+    (offset, width) hex-digit ranges, as even as possible."""
+    base, extra = divmod(16, bands)
+    out, off = [], 0
+    for b in range(bands):
+        w = base + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def _t_simhash(d, dialect_name: str, bands: int = SIMHASH_BANDS) -> str:
+    """64-bit simhash with banded near-dup lookup: the md5 of each shingle
+    supplies 64 hash bits split into ``bands`` bands; per-bit signed
+    majorities give the document signature; candidate pairs share at least
+    one identical band (equi-join — never a scan of the 2^64 key space);
+    exact hamming distance over band XOR popcounts verifies, thresholded
+    at bands-1 = the banding recall guarantee (see SIMHASH_BANDS note).
+    At corpus scale each stage is a uniform-key shuffle; no monster
+    groups."""
+    ranges = _band_ranges(bands)
     explode = _shingle_select(d, dialect_name)
     bandv = []
-    for b in range(4):
+    for b, (off, w) in enumerate(ranges):
         terms = " + ".join(
-            f"{_hexv(f'substr(h, {4 * b + i + 1}, 1)')} * {16 ** (3 - i)}"
-            for i in range(4)
+            f"{_hexv(f'substr(h, {off + i + 1}, 1)')} * {16 ** (w - 1 - i)}"
+            for i in range(w)
         )
         bandv.append(f"{terms} AS band{b}")
     sums = []
-    for b in range(4):
-        for j in range(16):
+    for b, (_off, w) in enumerate(ranges):
+        for j in range(4 * w):
             shr = d["SHR"](f"band{b}", j)
             sums.append(
                 f"sum(CASE WHEN ({shr} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}_{j}"
             )
     sigs = []
-    for b in range(4):
+    for b, (_off, w) in enumerate(ranges):
         bits = " + ".join(
-            f"(CASE WHEN s{b}_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+            f"(CASE WHEN s{b}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(4 * w)
         )
         sigs.append(f"{bits} AS g{b}")
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, g{b} AS bkey FROM sig" for b in range(4)
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, g{b} AS bkey FROM sig" for b in range(bands)
     )
     ham = " + ".join(
-        f"bit_count({d['XOR'](f'sa.g{b}', f'sb.g{b}')})" for b in range(4)
+        f"bit_count({d['XOR'](f'sa.g{b}', f'sb.g{b}')})" for b in range(bands)
     )
+    ham_max = bands - 1  # the banding guarantee IS the contract
     return f"""
 WITH hs AS (
   SELECT doc_id, md5(shingle) AS h
@@ -299,7 +331,7 @@ WITH hs AS (
 bv AS (SELECT doc_id, {', '.join(bandv)} FROM hs),
 bits AS (SELECT doc_id, {', '.join(sums)} FROM bv GROUP BY doc_id),
 sig AS (SELECT doc_id, {', '.join(sigs)} FROM bits),
-bands AS ({bands}),
+bands AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -309,7 +341,7 @@ SELECT doc_a, doc_b, {ham} AS hamming
 FROM cand
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
-WHERE {ham} <= {_SIMHASH_HAMMING_MAX}
+WHERE {ham} <= {ham_max}
 """
 
 
@@ -366,8 +398,21 @@ def _bucket_expr(d, emb: str, n_planes: int, dim: int = _ANN_DIM) -> str:
     return " + ".join(bits)
 
 
-_BUCKET_PLANES = 8  # 256 buckets for the bucketing op
-_TOPK_PLANES = 4  # 16 buckets for top-k: ~n/16 candidates per query
+def ann_planes_for(n_vectors: int, target_bucket: int = 32) -> int:
+    """Hyperplane count for ~target_bucket vectors per bucket (VERDICT r2
+    #2: planes must scale ~log2(n/target_bucket) — a fixed plane count
+    makes within-bucket brute force quadratic as the corpus grows). With
+    hamming-1 multiprobe (planes+1 probes) recall stays high as planes
+    grow; candidates per query ~ (planes+1) * target_bucket."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
+
+
+_BUCKET_PLANES = 8  # 256 buckets for the bucketing op (demo-scale default)
+_TOPK_PLANES = 4  # 16 buckets for plain top-k at the sf0.01 gate scale:
+# ~n/16 candidates per query. Both are ann_planes_for() at real corpus
+# sizes; the gate ops pin small defaults so the oracle join stays tiny.
 
 
 def _t_ann_lsh_buckets(d) -> str:
@@ -407,6 +452,51 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def _t_ann_multiprobe_topk(d, n_planes: int = 6, n_queries: int = 4, k: int = 5) -> str:
+    """Multiprobe bucketed ANN top-k (VERDICT r2 #5): each query probes
+    its own bucket plus every hamming-1 neighbor bucket (flip one plane's
+    sign bit) — planes+1 equi-join probes instead of one, so plane count
+    can grow with corpus size (ann_planes_for) without the single-bucket
+    recall cliff. Probe values are distinct, so a candidate matches at
+    most one probe: no post-join dedup needed. Brute-force scoring runs
+    only within probed buckets (~(planes+1) * n/2^planes candidates)."""
+    bucket = _bucket_expr(d, "embedding", n_planes)
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(n_planes)])
+    probe_src = (
+        f"(SELECT explode(array({masks})) AS m)"
+        if "shiftright" in d["SHR"]("x", 1)
+        else f"(SELECT unnest([{masks}]) AS m)"
+    )
+    qe = d["DOUBLE_ARR"]("p.embedding")
+    ce = d["DOUBLE_ARR"]("c.embedding")
+    dot = d["DOT"]("qe2", "ce2")
+    xor = d["XOR"]("q.bucket", "ms.m")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+probes AS (
+  SELECT q.vec_id, q.embedding, {xor} AS probe
+  FROM (SELECT * FROM bucketed WHERE vec_id < {n_queries}) q
+  CROSS JOIN {probe_src} ms
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {qe} AS qe2, {ce} AS ce2
+  FROM probes p JOIN bucketed c
+    ON c.bucket = p.probe AND c.vec_id <> p.vec_id
+),
+scored AS (SELECT query_id, neighbor_id, {dot} AS score FROM pairs),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
@@ -490,4 +580,7 @@ DATAOPS: dict[str, tuple] = {
     "ann_dot_topk": ("embeddings", _sql_op(_t_ann_dot_topk), True, None),
     "ann_lsh_buckets": ("embeddings", _sql_op(_t_ann_lsh_buckets), True, None),
     "ann_lsh_topk": ("embeddings", _sql_op(_t_ann_lsh_topk), True, None),
+    "ann_multiprobe_topk": (
+        "embeddings", _sql_op(_t_ann_multiprobe_topk), True, None,
+    ),
 }

@@ -1012,6 +1012,26 @@ def _utc_value(v):
     return v
 
 
+def has_naive_datetime(spec: Spec) -> bool:
+    """True when the predicate carries a tz-NAIVE datetime literal.
+    ``F.lit`` converts those with the DRIVER PROCESS time zone, so a
+    non-UTC driver would compare a shifted instant against the engine's
+    UTC-stored stats — ``scan()`` refuses that combination outright
+    (VERDICT r2 #9). tz-aware literals are safe everywhere."""
+    naive = lambda v: isinstance(v, _dt.datetime) and v.tzinfo is None  # noqa: E731
+    if isinstance(spec, Cmp):
+        return naive(spec.value)
+    if isinstance(spec, Between):
+        return naive(spec.low) or naive(spec.high)
+    if isinstance(spec, InList):
+        return any(naive(v) for v in spec.values)
+    if isinstance(spec, (And, Or)):
+        return any(has_naive_datetime(p) for p in spec.parts)
+    if isinstance(spec, Not):
+        return has_naive_datetime(spec.inner)
+    return False
+
+
 def utc_normalize(spec: Spec) -> Spec:
     """Copy of ``spec`` with every datetime literal rewritten to its naive-
     UTC instant, for executor-side evaluation against UTC-stored data."""

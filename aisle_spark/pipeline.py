@@ -48,6 +48,11 @@ from aisle_spark.schema import (
 
 DEFAULT_BLOCK_ROWS = 4096
 
+# direct-write encode streams blocks to the output parquet every this many
+# blocks (one row group each): the task's block-buffer peak is bounded by
+# FLUSH_BLOCKS regardless of input file size
+FLUSH_BLOCKS = 64
+
 
 def _pin_worker_threads() -> None:
     """Inside executor python workers, pyarrow must not fan compute out to
@@ -395,19 +400,58 @@ def encode_files_direct(
         task_id = tc.partitionId() if tc else 0
         attempt = tc.taskAttemptId() if tc else 0
         t0 = time.time()
-        rows: list[dict] = []
         inputs: list[str] = []
         seq = 0
+        fname = f"blocks-{task_id:05d}-{attempt}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(out_path, f".{fname}.tmp")
+        writer = None
+        n_blocks = total_rows = enc_bytes = raw_bytes = 0
+        pending: list[dict] = []
+        # per-stage wall (read/sort/encode/write) recorded in the commit
+        # sidecar: the scaling gate's per-stage table aggregates these
+        stages = {"read_sec": 0.0, "sort_sec": 0.0, "encode_sec": 0.0, "write_sec": 0.0}
+
+        def flush() -> None:
+            # stream pending blocks out as one parquet row group: peak
+            # task memory is FLUSH_BLOCKS blocks, independent of input
+            # file size (VERDICT r2 — the accumulate-then-from_pylist
+            # variant held every block of every assigned input in RAM)
+            nonlocal writer, n_blocks, total_rows, enc_bytes, raw_bytes
+            if not pending:
+                return
+            ts = time.time()
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, out_schema, compression=compression)
+            writer.write_table(
+                pa.Table.from_pylist(pending, schema=out_schema),
+                row_group_size=FLUSH_BLOCKS,
+            )
+            stages["write_sec"] += time.time() - ts
+            n_blocks += len(pending)
+            total_rows += int(sum(r["n_rows"] for r in pending))
+            enc_bytes += int(
+                sum(r[c] for r in pending for c in r if c.endswith("__enc_bytes"))
+            )
+            raw_bytes += int(
+                sum(r[c] for r in pending for c in r if c.endswith("__raw_bytes"))
+            )
+            pending.clear()
+
         for b in batches:
             for path in b.column(0).to_pylist():
                 inputs.append(os.path.basename(path))
+                ts = time.time()
                 tbl = flatten_table(pq.read_table(path, columns=names))
+                stages["read_sec"] += time.time() - ts
                 if sort_keys:
+                    ts = time.time()
                     tbl = tbl.sort_by(sort_keys)
+                    stages["sort_sec"] += time.time() - ts
+                ts = time.time()
                 for block in _block_slices(tbl, specs, block_rows, max_values):
                     first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
                     key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
-                    rows.append(
+                    pending.append(
                         encode_block(
                             specs,
                             cluster_block_rows(specs, block),
@@ -416,32 +460,31 @@ def encode_files_direct(
                         )
                     )
                     seq += 1
-        if not rows:
+                    if len(pending) >= FLUSH_BLOCKS:
+                        stages["encode_sec"] += time.time() - ts
+                        flush()
+                        ts = time.time()
+                stages["encode_sec"] += time.time() - ts
+        flush()
+        if writer is None:
             return
-        out_tbl = pa.Table.from_pylist(rows, schema=out_schema)
-        fname = f"blocks-{task_id:05d}-{attempt}-{uuid.uuid4().hex[:8]}.parquet"
-        tmp = os.path.join(out_path, f".{fname}.tmp")
-        pq.write_table(out_tbl, tmp, compression=compression, row_group_size=64)
+        writer.close()
         os.replace(tmp, os.path.join(out_path, fname))
         # the per-input COMMIT: data file is in place, now the sidecar.
         # keyed by input names, so a retried/resumed task for the same
         # inputs REPLACES this entry (and its orphan data file is never
         # listed by the manifest rebuild)
         wall = time.time() - t0
-        total_rows = int(sum(r["n_rows"] for r in rows))
         meta = {
             "inputs": inputs,
             "file": fname,
-            "n_blocks": len(rows),
+            "n_blocks": n_blocks,
             "n_rows": total_rows,
-            "enc_bytes": int(
-                sum(r[c] for r in rows for c in r if c.endswith("__enc_bytes"))
-            ),
-            "raw_bytes": int(
-                sum(r[c] for r in rows for c in r if c.endswith("__raw_bytes"))
-            ),
+            "enc_bytes": enc_bytes,
+            "raw_bytes": raw_bytes,
             "wall_sec": round(wall, 4),
             "rows_per_sec": round(total_rows / wall, 1) if wall > 0 else 0.0,
+            "stages": {k: round(v, 4) for k, v in stages.items()},
         }
         # collision-resistant sidecar key (ADVICE r2 medium): a 32-bit
         # crc32 over ~1e5 input sets has tens-of-percent birthday collision
@@ -455,7 +498,7 @@ def encode_files_direct(
             json.dump(meta, fh)
         os.replace(dtmp, os.path.join(out_path, "_done", f"{skey}.json"))
         yield pa.RecordBatch.from_pylist(
-            [{"file": fname, "n_blocks": len(rows), "n_rows": total_rows}],
+            [{"file": fname, "n_blocks": n_blocks, "n_rows": total_rows}],
             schema=pa.schema(
                 [
                     pa.field("file", pa.string()),
@@ -524,11 +567,16 @@ def lineage_files(spark: SparkSession, out_path: str) -> DataFrame:
                 r["raw_bytes"],
                 r["wall_sec"],
                 r["rows_per_sec"],
+                r.get("stages", {}).get("read_sec", 0.0),
+                r.get("stages", {}).get("sort_sec", 0.0),
+                r.get("stages", {}).get("encode_sec", 0.0),
+                r.get("stages", {}).get("write_sec", 0.0),
             )
             for r in rows
         ],
         "inputs array<string>, file string, n_blocks long, n_rows long, "
-        "enc_bytes long, raw_bytes long, wall_sec double, rows_per_sec double",
+        "enc_bytes long, raw_bytes long, wall_sec double, rows_per_sec double, "
+        "read_sec double, sort_sec double, encode_sec double, write_sec double",
     )
 
 
@@ -632,6 +680,41 @@ def _partial_struct_type(field: pa.Field, prefix: str, needed: set) -> pa.DataTy
     return pa.struct(cfields)
 
 
+def _assert_utc_for_datetime_literals(blocks: DataFrame, where: Spec) -> None:
+    """Warn on naive-datetime predicates outside a UTC driver (VERDICT r2
+    #9): ``F.lit(naive_datetime)`` resolves the instant with the driver
+    PROCESS time zone. All engine layers stay mutually consistent under
+    any zone (manifest keep(), chunk tri, in-reader mask, and residual all
+    derive from the same toInternal instant — test_semantics proves it),
+    but the INTENT is easy to get wrong: the literal means wall time in
+    the driver's zone, not UTC, while the engine's stats are UTC instants.
+    Pass tz-aware datetimes (unambiguous under any zone) or pin
+    spark.sql.session.timeZone=UTC + TZ=UTC."""
+    import datetime as _dt2
+    import warnings
+
+    from aisle_spark.filterspec import has_naive_datetime
+
+    if not has_naive_datetime(where):
+        return
+    try:
+        # no default arg: pyspark 4 VALIDATES defaults for this key
+        sess_tz = blocks.sparkSession.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        sess_tz = ""
+    proc_utc = _dt2.datetime.now().astimezone().utcoffset() == _dt2.timedelta(0)
+    if sess_tz not in ("UTC", "Etc/UTC", "GMT", "+00:00") or not proc_utc:
+        warnings.warn(
+            "tz-naive datetime predicate under a non-UTC driver (session "
+            f"timeZone={sess_tz!r}, process tz "
+            f"{'UTC' if proc_utc else 'non-UTC'}): the literal is resolved "
+            "in the DRIVER PROCESS zone, not UTC. Use tz-aware datetimes "
+            "or set spark.sql.session.timeZone=UTC (and TZ=UTC).",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def scan(
     blocks: DataFrame,
     schema: pa.Schema,
@@ -698,6 +781,7 @@ def scan(
             plan.append(("struct", top_fields[top], needed))
 
     if where is not None:
+        _assert_utc_for_datetime_literals(blocks, where)
         blocks = blocks.filter(where.keep_blocks())
     payload_cols = [f"{c}__payload" for c in need]
     if where is not None:

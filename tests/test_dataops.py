@@ -98,7 +98,7 @@ def test_multimodal_pipeline(spark):
     assert fs.count() >= 500
     # real decode is stubbed in this environment
     payload = df.select("payload").first()[0]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(LookupError):  # no decoder injected, no PIL
         decode_media(bytes(payload), "image")
     df.unpersist()
 
@@ -144,3 +144,132 @@ def test_fake_features_full_payload_sensitivity():
     feats = _fake_features(pd.Series([a, b, a]))
     assert not np.array_equal(feats[0], feats[1])
     assert np.array_equal(feats[0], feats[2])  # still deterministic
+
+
+class TestSimhashContract:
+    """VERDICT r2 #4: the verify threshold must match the banding recall
+    guarantee — B bands guarantee a shared band only for hamming <= B-1."""
+
+    def test_threshold_equals_band_guarantee(self):
+        from aisle_spark.dataops import (
+            _SIMHASH_HAMMING_MAX,
+            _DIALECTS,
+            SIMHASH_BANDS,
+            _t_simhash,
+        )
+
+        assert _SIMHASH_HAMMING_MAX == SIMHASH_BANDS - 1
+        sql = _t_simhash(_DIALECTS["duckdb"], "duckdb")
+        assert f"<= {SIMHASH_BANDS - 1}" in sql
+        # parameterized band count renders (scale knob: fewer, wider bands
+        # => more buckets at >=1e8 docs, guarantee shrinks accordingly)
+        assert f"<= {1}" in _t_simhash(_DIALECTS["duckdb"], "duckdb", bands=2)
+
+    def test_pigeonhole_geometry(self):
+        """Any pair at hamming <= B-1 shares a band; a constructed
+        hamming-B pair with one flipped bit PER band shares none — that
+        pair is explicitly OUT OF CONTRACT (documented recall bound)."""
+        import random
+
+        from aisle_spark.dataops import SIMHASH_BANDS, _band_ranges
+
+        ranges = _band_ranges(SIMHASH_BANDS)
+
+        def bands_of(sig: int) -> list[str]:
+            hx = f"{sig:016x}"
+            return [hx[off : off + w] for off, w in ranges]
+
+        rng = random.Random(1)
+        for _ in range(500):
+            a = rng.getrandbits(64)
+            ham = rng.randint(0, SIMHASH_BANDS - 1)
+            b = a
+            for f in rng.sample(range(64), ham):
+                b ^= 1 << f
+            assert any(x == y for x, y in zip(bands_of(a), bands_of(b)))
+        # hamming == B, one bit per band: no shared band => never a
+        # candidate => the op's contract excludes it
+        a, b = 0, 0
+        for off, _w in ranges:
+            b ^= 1 << ((15 - off) * 4)
+        assert bin(a ^ b).count("1") == SIMHASH_BANDS
+        assert not any(x == y for x, y in zip(bands_of(a), bands_of(b)))
+
+
+class TestAnnMultiprobe:
+    def test_planes_scale_with_corpus(self):
+        from aisle_spark.dataops import ann_planes_for
+
+        assert ann_planes_for(500) == 4
+        assert ann_planes_for(2000) == 6
+        assert ann_planes_for(10**9) == 25  # ~32-vector buckets at 1e9
+
+    def test_recall_on_planted_near_duplicates(self, spark):
+        """LSH's contract is NEAR-neighbor recall: on a corpus of planted
+        clusters (6 near-identical members each), multiprobe bucketed
+        top-5 must recover the brute-force top-5 (= the 5 cluster mates)
+        with high recall at >=64 buckets (VERDICT r2 #5). Arbitrary-top-k
+        on uniform random vectors is NOT the contract — no sublinear
+        method achieves it."""
+        import numpy as np
+
+        from aisle_spark.dataops import (
+            _DIALECTS,
+            _bucket_expr,
+            _t_ann_dot_topk,
+            _t_ann_multiprobe_topk,
+            ann_planes_for,
+        )
+
+        C, M = 333, 6  # 333 clusters x 6 members = 1998 vectors
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((C, 64))
+        vecs = base[np.arange(C * M) % C] + 0.05 * rng.standard_normal((C * M, 64))
+        vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype("float32")
+        rows = [(int(i), [float(x) for x in vecs[i]], 0) for i in range(C * M)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+
+        n = C * M
+        planes = ann_planes_for(n)
+        assert (1 << planes) >= 64  # VERDICT r2 #5: >=64 buckets
+        d = _DIALECTS["spark"]
+        n_buckets = spark.sql(
+            f"SELECT count(DISTINCT {_bucket_expr(d, 'embedding', planes)}) "
+            "FROM embeddings"
+        ).collect()[0][0]
+        assert n_buckets >= 40  # hyperplanes actually spread the corpus
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in spark.sql(_t_ann_multiprobe_topk(d, n_planes=planes)).collect()
+        }
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in spark.sql(_t_ann_dot_topk(d)).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8, f"multiprobe recall {recall} vs brute force"
+
+
+def test_injected_media_encoder(spark):
+    """VERDICT r2 #10: the encoder is an argument, not an import gate."""
+    import pytest as _pytest
+
+    from aisle_spark.multimodal import decode_media, extract_features, synth_media_df
+
+    def const_encoder(payloads):  # local: cloudpickle ships it by value
+        import numpy as np
+
+        out = np.zeros((len(payloads), 4), dtype=np.float32)
+        out[:, 0] = [len(p) for p in payloads]
+        return out
+
+    df = synth_media_df(spark, 200)
+    rows = extract_features(df, encoder=const_encoder).collect()
+    assert len(rows) == 200
+    assert all(len(r.feature) == 4 and r.feature[0] > 0 for r in rows)
+    # injected decoder wins over the import-gated fallback
+    assert decode_media(b"xx", "audio", decoder=lambda p, k: (k, len(p))) == ("audio", 2)
+    with _pytest.raises(LookupError):
+        decode_media(b"xx", "audio")

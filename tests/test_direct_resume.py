@@ -103,3 +103,31 @@ def test_orphan_files_invisible_to_readers(spark, dirs):
     assert os.path.basename(orphan) not in committed
     blocks, schema = read_encoded(spark, out)
     assert scan(blocks, schema).count() == 2000
+
+
+def test_streaming_flush_bounds_task_memory(spark, dirs, monkeypatch):
+    """VERDICT r2 #6: the direct writer streams blocks out every
+    FLUSH_BLOCKS — peak buffer is FLUSH_BLOCKS blocks regardless of input
+    size. With FLUSH_BLOCKS=2, every written row group holds <= 2 block
+    rows, proving no larger buffer ever accumulated."""
+    import aisle_spark.pipeline as pl
+
+    src, out = dirs
+    _drop(src, "big.parquet", 0, 8000)  # ~16 blocks at block_rows=512
+    monkeypatch.setattr(pl, "FLUSH_BLOCKS", 2)
+    committed = encode_files_direct(
+        spark, src, out, parts=4, sort_cols=["source", "n_tok"], block_rows=512
+    )
+    assert len(committed) == 1
+    md = pq.ParquetFile(os.path.join(out, committed[0])).metadata
+    assert md.num_row_groups >= 8
+    assert all(md.row_group(i).num_rows <= 2 for i in range(md.num_row_groups))
+    # stage timings present in the sidecar + lineage table
+    lin = lineage_files(spark, out).collect()[0]
+    assert lin.encode_sec > 0 and lin.read_sec >= 0
+    # decoded output identical to the source
+    blocks, schema = read_encoded(spark, out)
+    got = scan(blocks, schema).agg(F.count("*"), F.sum("n_tok")).collect()[0]
+    raw = spark.read.parquet(src)
+    exp = raw.agg(F.count("*"), F.sum("n_tok")).collect()[0]
+    assert tuple(got) == tuple(exp)

@@ -211,3 +211,58 @@ class TestArrayLen:
         assert kept < total
         blocks.unpersist()
         df.unpersist()
+
+
+class TestUtcGuard:
+    """VERDICT r2 #9: scan() refuses tz-naive datetime predicates outside
+    a UTC driver (F.lit resolves naive instants with the process tz)."""
+
+    def _blocks(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from aisle_spark.pipeline import arrow_schema_of, encode_table
+
+        df = spark.range(0, 500).select(
+            F.col("id"),
+            (F.lit(dt.datetime(2024, 1, 1)) + F.make_dt_interval(F.lit(0), F.lit(0), F.col("id").cast("int"))).alias("ts"),
+        )
+        return encode_table(df, parts=1, block_rows=256), arrow_schema_of(df)
+
+    def test_non_utc_session_warns(self, spark):
+        import datetime as dt
+        import warnings
+
+        import pytest as _pytest
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import scan
+
+        blocks, schema = self._blocks(spark)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            with _pytest.warns(UserWarning, match="non-UTC driver"):
+                scan(blocks, schema, where=col("ts") > dt.datetime(2024, 1, 1, 1))
+            # tz-aware literals are unambiguous: no warning under any zone
+            aware = dt.datetime(2024, 1, 1, 1, tzinfo=dt.timezone.utc)
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                n = scan(
+                    blocks, schema, where=col("ts") > aware, columns=["id"]
+                ).count()
+            assert n == 500 - 61
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def test_utc_session_accepted(self, spark):
+        import datetime as dt
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import scan
+
+        blocks, schema = self._blocks(spark)
+        n = scan(
+            blocks, schema, where=col("ts") > dt.datetime(2024, 1, 1, 1), columns=["id"]
+        ).count()
+        assert n == 500 - 61

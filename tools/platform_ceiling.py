@@ -65,6 +65,32 @@ def _mean_time(n: int, kind: str) -> float:
     return best
 
 
+def _quick_worker(b: Barrier, q: Queue, passes: int) -> None:
+    x = np.random.default_rng(1).integers(0, 1 << 30, 10_000_000)  # 80 MB
+    b.wait()
+    t0 = time.time()
+    for _ in range(passes):
+        y = x + 1
+        _ = int(y[::4096].sum())
+    q.put(time.time() - t0)
+
+
+def quick_mem(n: int, passes: int = 4) -> float:
+    """ONE barrier-synced mem-streaming sample at occupancy ``n`` (~0.5 s):
+    mean per-process seconds for fixed work. Attached to each scaling run
+    so a run-local ceiling (quick_mem(lo)/quick_mem(hi) around the actual
+    runs) exposes transient co-tenant bus contention that steal% cannot
+    see."""
+    b, q = Barrier(n), Queue()
+    ps = [Process(target=_quick_worker, args=(b, q, passes)) for _ in range(n)]
+    for p in ps:
+        p.start()
+    times = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(times) / n
+
+
 def measure(lo: int = 8, hi: int = 32) -> dict:
     out: dict = {"lo_procs": lo, "hi_procs": hi}
     for kind in ("alu", "mem"):
