@@ -133,12 +133,7 @@ def _specs_for_field(field: pa.Field, prefix: str) -> list[ColumnSpec]:
     if pa.types.is_struct(t):
         specs = [ColumnSpec(f"{name}.__defined", "int", pa.bool_())]
         for i in range(t.num_fields):
-            child = t.field(i)
-            if pa.types.is_map(child.type):
-                raise TypeError(
-                    f"map inside struct unsupported: {name}.{child.name}"
-                )
-            specs.extend(_specs_for_field(child, name + "."))
+            specs.extend(_specs_for_field(t.field(i), name + "."))
         return specs
     return [spec_for_field(pa.field(name, t, nullable=field.nullable))]
 
@@ -158,17 +153,29 @@ def flatten_table(tbl: pa.Table) -> pa.Table:
     arrays: list[pa.Array] = []
     fields: list[pa.Field] = []
 
+    import numpy as np
+
     def emit(arr: pa.Array, field: pa.Field, prefix: str) -> None:
         name = prefix + field.name
         if pa.types.is_struct(field.type):
             valid = arr.is_valid()
             arrays.append(valid)
             fields.append(pa.field(f"{name}.__defined", pa.bool_()))
+            null_idx = None
+            if arr.null_count:
+                # take-with-null-indices canonicalizes children under NULL
+                # struct slots to NULL for ANY child type (list, map,
+                # nested struct — pc.if_else lacks kernels for several)
+                null_idx = pc.if_else(
+                    valid,
+                    pa.array(np.arange(len(arr), dtype=np.int64)),
+                    pa.scalar(None, pa.int64()),
+                )
             for i in range(field.type.num_fields):
                 ch = field.type.field(i)
                 child = arr.field(i)
-                if arr.null_count:
-                    child = pc.if_else(valid, child, pa.scalar(None, ch.type))
+                if null_idx is not None:
+                    child = child.take(null_idx)
                 emit(child, ch, name + ".")
         else:
             arrays.append(arr)

