@@ -531,33 +531,49 @@ def _list_array(t: pa.DataType, n: int, valid, list_lens, vals) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
-def cluster_block_rows(specs: list[ColumnSpec], batch: pa.Table | pa.RecordBatch):
-    """Reorder rows WITHIN a block so list-value regimes cluster together
-    (rows needing similar bit widths become contiguous), which lets the
-    chunked mini-block cascade pick tight codecs. Invisible to block-level
-    stats (they are set-valued) and to query results (DataFrames are
-    unordered); measured ~12% smaller token payloads on the mixed-regime
-    synthetic corpus. Fully vectorized (reduceat + argsort + take)."""
-    list_specs = [s for s in specs if s.kind == "intlist"]  # clustering keys off int token widths only
+def row_token_widths(
+    specs: list[ColumnSpec], batch: pa.Table | pa.RecordBatch
+) -> np.ndarray | None:
+    """Per-row bit width of the first int-list column's value range (the
+    clustering key), or None when no int-list column / all null. Fully
+    vectorized (reduceat)."""
+    list_specs = [s for s in specs if s.kind == "intlist"]
     if not list_specs or len(batch) < 2:
-        return batch
-    s = list_specs[0]
-    col = batch.column(s.name)
+        return None
+    col = batch.column(list_specs[0].name)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if col.null_count == len(col):
-        return batch
+        return None
     flat = col.flatten().to_numpy(zero_copy_only=False)
     lens = col.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
     offs = np.concatenate(([0], np.cumsum(lens)))
     width = np.zeros(len(batch), dtype=np.int64)
     ne = lens > 0
     if not ne.any() or flat.size == 0:
-        return batch
+        return None
     starts = offs[:-1][ne]
     rmax = np.maximum.reduceat(flat, starts)
     rmin = np.minimum.reduceat(flat, starts)
     width[ne] = np.ceil(np.log2(rmax.astype(np.float64) - rmin + 1.0)).astype(np.int64)
+    return width
+
+
+def cluster_block_rows(specs: list[ColumnSpec], batch: pa.Table | pa.RecordBatch):
+    """Reorder rows WITHIN a block so list-value regimes cluster together
+    (rows needing similar bit widths become contiguous), which lets the
+    chunked mini-block cascade pick tight codecs. Invisible to block-level
+    stats (they are set-valued) and to query results (DataFrames are
+    unordered); measured ~12% smaller token payloads on the mixed-regime
+    synthetic corpus. Fully vectorized (reduceat + argsort + take).
+
+    The hot encode paths use ``pipeline._order_and_slice`` instead, which
+    folds this reorder into the global sort's single gather; this
+    standalone form remains for direct callers (bench compute probe,
+    tests)."""
+    width = row_token_widths(specs, batch)
+    if width is None:
+        return batch
     order = np.argsort(width, kind="stable")
     if (order == np.arange(order.size)).all():
         return batch

@@ -206,8 +206,13 @@ def _unbody_rle(buf: memoryview, n: int) -> np.ndarray:
     return np.repeat(values, lengths)
 
 
-def _body_dict(u: np.ndarray) -> bytes:
-    uniq, codes = np.unique(u, return_inverse=True)
+def _body_dict(u: np.ndarray, uniq: np.ndarray | None = None) -> bytes:
+    if uniq is None:
+        uniq, codes = np.unique(u, return_inverse=True)
+    else:
+        # reuse the distinct set the stats pass already sorted — one
+        # searchsorted instead of a second full sort (chunk-cascade hotspot)
+        codes = np.searchsorted(uniq, u)
     cw = _width(uniq.size - 1) if uniq.size > 1 else 0
     uniq_body = _body_for(uniq)
     return (
@@ -251,8 +256,9 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
     arr = _from_u64(u, dtype)
     for lo in range(0, n, CHUNK_VALUES):
         c = arr[lo : lo + CHUNK_VALUES]
+        st = int_stats(c, exact_distinct=False)
         chunks.append(
-            encode_ints(c, choose_int_codec(int_stats(c, exact_distinct=False), dtype.itemsize))
+            encode_ints(c, choose_int_codec(st, dtype.itemsize), _uniq=st.get("uniq"))
         )
     lens = np.fromiter((len(c) for c in chunks), dtype=np.uint32, count=len(chunks))
     return (
@@ -292,26 +298,33 @@ def int_stats(arr: np.ndarray, exact_distinct: bool = True) -> dict:
     if n == 0:
         return {"n": 0, "min": None, "max": None, "n_runs": 0, "distinct": 0}
     n_runs = 1 + int(np.count_nonzero(u[1:] != u[:-1]))
+    uniq = None
     if not exact_distinct and n > 1024:
         # sampled cardinality screen: a 512-point sample that is >1/4
         # unique means dict can't win at this chunk size — skip the exact
         # unique (a full sort, the chunk-cascade profile hotspot).
         # Overestimating distinct only disables the dict codec; min/max/
-        # n_runs stay exact, so pruning soundness is untouched.
-        sample = u[:: max(1, n // 512)]
-        k = int(np.unique(sample).size)
+        # n_runs stay exact, so pruning soundness is untouched. The screen
+        # is an inline sort + boundary count (np.unique adds ~10 us of
+        # wrapper overhead per call, which at one call per 4096-value
+        # mini-chunk is real money).
+        sample = np.sort(u[:: max(1, n // 512)])
+        k = 1 + int(np.count_nonzero(sample[1:] != sample[:-1]))
         if k > sample.size // 4:
             distinct = n
         else:
-            distinct = int(np.unique(u).size)
+            uniq = np.unique(u)
+            distinct = int(uniq.size)
     else:
-        distinct = int(np.unique(u).size)
+        uniq = np.unique(u)
+        distinct = int(uniq.size)
     return {
         "n": n,
         "min": int(s.min()),
         "max": int(s.max()),
         "n_runs": n_runs,
         "distinct": distinct,
+        "uniq": uniq,  # sorted distinct set when computed (dict codec reuses)
     }
 
 
@@ -341,8 +354,12 @@ def choose_int_codec(stats: dict, itemsize: int) -> str:
     return min(est, key=est.get)
 
 
-def encode_ints(arr: np.ndarray, codec: str | None = None) -> bytes:
-    """Encode an integer array; codec auto-selected from stats when None."""
+def encode_ints(
+    arr: np.ndarray, codec: str | None = None, _uniq: np.ndarray | None = None
+) -> bytes:
+    """Encode an integer array; codec auto-selected from stats when None.
+    ``_uniq``: the stats pass's sorted distinct set (u64 domain), reused by
+    the dict codec to skip a second sort."""
     dtype = arr.dtype
     if dtype not in _DTYPE_CODE:
         raise TypeError(f"unsupported int dtype {dtype}")
@@ -367,7 +384,7 @@ def encode_ints(arr: np.ndarray, codec: str | None = None) -> bytes:
     elif cid == RLE:
         body = _body_rle(u)
     elif cid == DICT:
-        body = _body_dict(u)
+        body = _body_dict(u, _uniq)
     else:  # pragma: no cover
         raise ValueError(codec)
     out = _HDR.pack(cid, _DTYPE_CODE[dtype], arr.size) + body

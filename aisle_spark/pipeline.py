@@ -106,6 +106,65 @@ def _block_slices(
         lo = hi
 
 
+def _order_and_slice(
+    tbl: pa.Table,
+    specs: list[ColumnSpec],
+    sort_keys: list,
+    block_rows: int,
+    max_values: int,
+) -> list[pa.Table]:
+    """Single-gather ordering: global sort by ``sort_keys``, block
+    boundaries under the row AND flattened-value caps, then within-block
+    token-width clustering — all computed on INDICES first; the table is
+    gathered exactly ONCE. (sort_by + a per-block cluster take were two
+    full copies of the token payload — pure memory traffic, the resource
+    the 8->32 scaling ceiling is made of.) Returns zero-copy slices."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from aisle_spark.blocks import row_token_widths
+
+    n = tbl.num_rows
+    if n == 0:
+        return []
+    if sort_keys:
+        idx = (
+            pc.sort_indices(
+                tbl.select([c for c, _ in sort_keys]), sort_keys=sort_keys
+            )
+            .to_numpy()
+            .astype(np.int64)
+        )
+    else:
+        idx = np.arange(n, dtype=np.int64)
+    list_cols = [s.name for s in specs if s.kind in ("intlist", "floatlist")]
+    weight = np.zeros(n, dtype=np.int64)
+    for c in list_cols:
+        col = tbl.column(c)
+        lens = col.combine_chunks().value_lengths().to_numpy(zero_copy_only=False)
+        weight += np.nan_to_num(lens, nan=0).astype(np.int64)
+    width = row_token_widths(specs, tbl)  # in ORIGINAL row order
+    cum = np.cumsum(weight[idx])
+    bounds = [0]
+    lo = 0
+    while lo < n:
+        hi_rows = min(lo + block_rows, n)
+        base = cum[lo - 1] if lo else 0
+        hi_vals = int(np.searchsorted(cum, base + max_values, side="right"))
+        hi = max(lo + 1, min(hi_rows, hi_vals))
+        bounds.append(hi)
+        lo = hi
+    if width is not None:
+        parts = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = idx[a:b]
+            parts.append(seg[np.argsort(width[seg], kind="stable")])
+        idx = np.concatenate(parts)
+    if not np.array_equal(idx, np.arange(n, dtype=np.int64)):
+        tbl = tbl.take(pa.array(idx))
+    return [tbl.slice(a, b - a) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
 def encode_table(
     df: DataFrame,
     parts: int = 64,
@@ -166,14 +225,12 @@ def encode_salted(
         _pin_worker_threads()
         part_id = int(key[0].as_py())
         tbl = flatten_table(tbl.drop_columns(["part_id"]))
-        if sort_keys:
-            tbl = tbl.sort_by(sort_keys)
         rows = []
         for seq, block in enumerate(
-            _block_slices(tbl, specs, block_rows, max_values)
+            _order_and_slice(tbl, specs, sort_keys, block_rows, max_values)
         ):
             block_id = (part_id << 24) | seq
-            rows.append(encode_block(specs, cluster_block_rows(specs, block), part_id, block_id))
+            rows.append(encode_block(specs, block, part_id, block_id))
         return pa.Table.from_pylist(rows, schema=out_schema)
 
     return salted.groupBy("part_id").applyInArrow(encode_group, schema=out_spark)
@@ -224,21 +281,19 @@ def encode_table_inline(
         if not got:
             return
         tbl = flatten_table(pa.Table.from_batches(got))
-        if sort_keys:
-            tbl = tbl.sort_by(sort_keys)
         # block_id = (task partition, local sequence): unique by
         # construction — first-row salt hashes collide whenever sorted
         # runs span blocks (ADVICE r1); the salt hash decides ONLY part_id
         task_id = TaskContext.get().partitionId() if TaskContext.get() else 0
         rows = []
-        for seq, block in enumerate(_block_slices(tbl, specs, block_rows, max_values)):
+        for seq, block in enumerate(
+            _order_and_slice(tbl, specs, sort_keys, block_rows, max_values)
+        ):
             first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
             key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
             part_id = int(zlib.crc32(key) % parts)
             block_id = (task_id << 24) | seq
-            rows.append(
-                encode_block(specs, cluster_block_rows(specs, block), part_id, block_id)
-            )
+            rows.append(encode_block(specs, block, part_id, block_id))
         yield from pa.Table.from_pylist(rows, schema=out_schema).to_batches()
 
     blocks = df.mapInArrow(encode_split, out_spark)
@@ -291,16 +346,16 @@ def encode_files_inline(
         for b in batches:
             for path in b.column(0).to_pylist():  # per input FILE
                 tbl = flatten_table(pq.read_table(path, columns=names))
-                if sort_keys:
-                    tbl = tbl.sort_by(sort_keys)
                 rows = []
-                for block in _block_slices(tbl, specs, block_rows, max_values):
+                for block in _order_and_slice(
+                    tbl, specs, sort_keys, block_rows, max_values
+                ):
                     first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
                     key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
                     rows.append(
                         encode_block(
                             specs,
-                            cluster_block_rows(specs, block),
+                            block,
                             int(zlib.crc32(key) % parts),
                             (task_id << 24) | seq,
                         )
@@ -443,18 +498,21 @@ def encode_files_direct(
                 ts = time.time()
                 tbl = flatten_table(pq.read_table(path, columns=names))
                 stages["read_sec"] += time.time() - ts
-                if sort_keys:
-                    ts = time.time()
-                    tbl = tbl.sort_by(sort_keys)
-                    stages["sort_sec"] += time.time() - ts
                 ts = time.time()
-                for block in _block_slices(tbl, specs, block_rows, max_values):
+                # single-gather ordering: sort + block bounds + width
+                # clustering resolved on indices, ONE take
+                blocks_list = _order_and_slice(
+                    tbl, specs, sort_keys, block_rows, max_values
+                )
+                stages["sort_sec"] += time.time() - ts
+                ts = time.time()
+                for block in blocks_list:
                     first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
                     key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
                     pending.append(
                         encode_block(
                             specs,
-                            cluster_block_rows(specs, block),
+                            block,
                             int(zlib.crc32(key) % parts),
                             (task_id << 24) | seq,
                         )
