@@ -21,6 +21,11 @@ def _rand_leaf(rng: random.Random) -> Spec:
     kind = rng.randrange(8)
     if kind == 0:
         op = rng.choice(["eq", "ne", "lt", "le", "gt", "ge"])
+        if rng.random() < 0.3:
+            # TYPE-MISMATCHED literal: float (often non-integral) against
+            # an int column — Spark promotes to double; every engine layer
+            # must agree (ADVICE r2 high regression class)
+            return Cmp("n_tok", op, rng.randrange(0, 400) / 2.0)
         return Cmp("n_tok", op, rng.randrange(0, 200))
     if kind == 1:
         return col("n_tok").between(rng.randrange(0, 50), rng.randrange(50, 300))
@@ -97,6 +102,10 @@ def _typed_df(spark):
                 None
                 if rng.random() < 0.08
                 else {"lang": rng.choice(["en", "de", "fr"]), "score": rng.randrange(100)},
+                None if null else dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(60)),
+                None
+                if rng.random() < 0.1
+                else {"k": rng.randrange(100), rng.choice(["en", "de"]): rng.randrange(50)},
             )
         )
     sch = T.StructType(
@@ -114,6 +123,8 @@ def _typed_df(spark):
                     ]
                 ),
             ),
+            T.StructField("day", T.DateType()),
+            T.StructField("props", T.MapType(T.StringType(), T.LongType())),
         ]
     )
     return spark.createDataFrame(rows, sch)
@@ -123,8 +134,25 @@ def _rand_typed_leaf(rng: random.Random) -> Spec:
     import datetime as dt
     from decimal import Decimal
 
-    kind = rng.randrange(5)
+    kind = rng.randrange(8)
     ops = ["eq", "ne", "lt", "le", "gt", "ge"]
+    if kind == 5:
+        # date column; half the time a MISMATCHED datetime literal (the
+        # days-vs-us domain split that must stay Unknown in chunk stats)
+        base = dt.date(2024, 1, 1) + dt.timedelta(days=rng.randrange(70))
+        v = (
+            dt.datetime(base.year, base.month, base.day, rng.randrange(24))
+            if rng.random() < 0.5
+            else base
+        )
+        return Cmp("day", rng.choice(ops), v)
+    if kind == 6:
+        return col("props").map_key(rng.choice(["k", "en", "de", "zz"])).__gt__(
+            rng.randrange(0, 110)
+        )
+    if kind == 7:
+        # non-integral float against the DECIMAL column (promotes to double)
+        return Cmp("price", rng.choice(ops), rng.randrange(0, 200000) / 2.0 + 0.25)
     if kind == 0:
         return Cmp("price", rng.choice(ops), Decimal(rng.randrange(0, 100000)).scaleb(-2))
     if kind == 1:
