@@ -339,6 +339,27 @@ _SPECS: dict[str, tuple] = {
         "events", _EV_SORT, col("value").is_not_null() & (col("value") > 400.0),
         ["event_id", "value"], "nulls", _events_with_nulls,
     ),
+    # general LIKE (mid-wildcard): residual-only exact evaluation — the
+    # reference REJECTS these at compile (src/compile.rs:700-745); here a
+    # prunable conjunct supplies the block skipping and LIKE runs exactly
+    "scan_like_contains": (
+        "documents",
+        _DOC_SORT,
+        (col("source") == "src2") & col("text").like("% the %"),
+        ["doc_id", "n_chars"],
+        "",
+        None,
+    ),
+    # bloom definite-absence over an IN list on a high-cardinality string
+    # key (multi-value _bloom_absent: prune only when EVERY value absent)
+    "scan_doc_id_bloom_in": (
+        "documents",
+        _DOC_SORT,
+        col("doc_id").isin("137", "4242", "99999999"),
+        ["doc_id", "source"],
+        "docstr",
+        _docs_with_string_ids,
+    ),
     # map dotted-path VALUE-range predicate: events.props parsed to a real
     # map<string,bigint>; oracle json-extracts from the raw JSON string
     "events_props_map_eq": (

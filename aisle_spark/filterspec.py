@@ -782,6 +782,38 @@ class ArrayLen(Spec):
 
 
 @dataclass(frozen=True)
+class Like(Spec):
+    """General SQL LIKE — residual-only: block evidence is Unknown (keep),
+    the exact predicate evaluates on the decoded frame. The reference
+    REJECTS non-prefix patterns at compile time
+    (/root/reference/src/compile.rs:700-745 like_pattern_to_rule); here the
+    scan still runs them, pruning only through whatever other conjuncts
+    provide. Literal and 'prefix%' shapes should use Eq/StartsWith (the
+    ``col().like()`` builder picks those automatically)."""
+
+    col: str
+    pattern: str
+
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        return Tri(F.lit(False), F.lit(False))
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(True)
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(True)
+
+    def residual(self) -> Column:
+        return F.col(self.col).like(self.pattern)
+
+    def to_sql(self) -> str:
+        return f"{self.col} LIKE '{self.pattern.replace(chr(39), chr(39) * 2)}'"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
 class MapKeyCmp(Spec):
     """``element_at(col, key) op value`` over a string-keyed map column —
     the map half of the reference's dotted-path pruning
@@ -1113,17 +1145,15 @@ class col:
         return _MapKeyRef(self.name, key, sql_expr)
 
     def like(self, pattern: str):
-        """LIKE-pattern classification, same rules as the reference's
+        """LIKE-pattern classification, extending the reference's
         like_pattern_to_rule (/root/reference/src/compile.rs:700-745):
-        no wildcard -> Eq; a single trailing '%' -> StartsWith; any other
-        wildcard shape is unsupported for PRUNING (evaluate it as a plain
-        residual filter on the decoded frame instead)."""
+        no wildcard -> Eq; a single trailing '%' -> StartsWith (both
+        PRUNABLE); any other wildcard shape becomes a residual-only
+        ``Like`` (exact, Unknown to the pruner — the reference rejects
+        these outright, we evaluate them)."""
         body = pattern[:-1] if pattern.endswith("%") else pattern
         if "%" in body or "_" in body:
-            raise ValueError(
-                f"LIKE pattern {pattern!r} not prunable (only 'literal' and "
-                "'prefix%' forms are); filter the decoded DataFrame instead"
-            )
+            return Like(self.name, pattern)
         if pattern.endswith("%"):
             return StartsWith(self.name, body)
         return Cmp(self.name, "eq", pattern)

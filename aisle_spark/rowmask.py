@@ -35,6 +35,7 @@ from aisle_spark.filterspec import (
     Cmp,
     InList,
     IsNull,
+    Like,
     Not,
     Or,
     Spec,
@@ -137,6 +138,9 @@ def _eval(spec: Spec, batch: pa.RecordBatch) -> pa.Array:
         return pc.is_valid(c) if spec.negated else pc.is_null(c)
     if isinstance(spec, StartsWith):
         return pc.starts_with(batch.column(spec.col), pattern=spec.prefix)
+    if isinstance(spec, Like):
+        # SQL LIKE semantics (% _ wildcards), matching Spark's like()
+        return pc.match_like(batch.column(spec.col), pattern=spec.pattern)
     if isinstance(spec, And):
         out = _eval(spec.parts[0], batch)
         for p in spec.parts[1:]:

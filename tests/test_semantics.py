@@ -113,14 +113,16 @@ class TestLikeClassification:
 
         assert col("s").like("foo%") == StartsWith("s", "foo")
 
-    def test_other_wildcards_rejected(self):
-        import pytest
-
-        from aisle_spark.filterspec import col
+    def test_other_wildcards_are_residual_like(self):
+        # the reference REJECTS these at compile (src/compile.rs:700-745);
+        # we classify them as residual-only Like (Unknown to the pruner,
+        # exact on the decoded frame)
+        from aisle_spark.filterspec import Like, col
 
         for pat in ("%foo", "f%o", "f_o", "fo_%"):
-            with pytest.raises(ValueError):
-                col("s").like(pat)
+            spec = col("s").like(pat)
+            assert spec == Like("s", pat)
+            assert spec.to_sql() == f"s LIKE '{pat}'"
 
 
 class TestArrayAny:

@@ -22,11 +22,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].astype(str)
-    rows = sorted(df.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
+    if len(df) == 0:  # apply(axis=1) on empty returns a DataFrame
+        rows = []
+    else:
+        rows = sorted(df.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
@@ -45,6 +48,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        wanted = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in wanted}
     failures = 0
     for name, fn in qs.items():
         try:
