@@ -1,0 +1,428 @@
+"""``spark.read.format("aisle")`` / ``df.write.format("aisle")`` — the
+engine as a first-class Spark data source (PySpark 4 Python DataSource
+API), so users drive it through the ordinary reader/writer surface
+instead of calling :func:`aisle_spark.pipeline.scan` directly.
+
+Read path (the reference's prune→selection→decode lifecycle,
+/root/reference/src/prune/api.rs, re-expressed in the DataSource
+contract):
+
+* ``pushFilters`` translates Spark's pushed-down filters into the
+  engine's pruning IR (filterspec Specs). Every filter is RETURNED to
+  Spark for re-evaluation — pushed filters are used as *advisory*
+  pruning evidence (the standard DSv2 posture), so the engine never has
+  to promise exact evaluation and correctness always rests on Catalyst's
+  own residual filter.
+* ``partitions`` prunes at PLANNING time: the committed block files'
+  manifest columns are filtered with the DuckDB-dialect evidence
+  predicate (prune_sql.keep_sql — differentially tested against the
+  Catalyst form), producing one input partition per file that still has
+  surviving blocks, carrying the survivors' row numbers. Blocks that are
+  definitely-false never get a task scheduled.
+* ``read`` decodes surviving blocks through the very same plan the
+  ``scan()`` path uses (``pipeline._decode_fn``: chunk-level skip +
+  in-reader row mask + struct reassembly) and yields Arrow batches.
+
+Write path: each task slices its Arrow stream into sorted blocks
+(``pipeline._order_and_slice`` + ``blocks.encode_block``), writes ONE
+parquet file, and reports it in its commit message; ``commit`` publishes
+the file list into ``_aisle_files.json`` plus the Arrow schema sidecar —
+the same manifest-commit protocol the direct-write encode uses, so
+readers never observe files from failed or speculative attempts.
+
+Scale notes: planning reads ONLY manifest stat columns of the committed
+files (parquet projection pushdown; payload bytes untouched) — the same
+footer-sized I/O the reference's metadata load performs. At 10^5+ files
+the DuckDB scan is itself parallel and the per-file partition list stays
+O(files). No driver-side collect touches payload data anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull as DSIsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not as DSNot,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from aisle_spark.filterspec import (
+    And,
+    Cmp,
+    InList,
+    IsNull,
+    Like,
+    Not,
+    Spec,
+    StartsWith,
+    utc_normalize,
+)
+
+_SCHEMA_SIDECAR = "_aisle_schema.arrow"
+_FILES_MANIFEST = "_aisle_files.json"
+
+
+# ---------------------------------------------------------------------------
+# filter translation: Spark pushed filters -> pruning IR
+# ---------------------------------------------------------------------------
+
+_CMP_FILTERS = {
+    EqualTo: "eq",
+    GreaterThan: "gt",
+    GreaterThanOrEqual: "ge",
+    LessThan: "lt",
+    LessThanOrEqual: "le",
+}
+
+
+def filter_to_spec(f: Filter, leaf_names: set[str]) -> Spec | None:
+    """One pushed filter -> a Spec, or None when untranslatable (the
+    filter is simply not used as pruning evidence then — never wrong,
+    because every filter is re-evaluated by Spark regardless)."""
+    if isinstance(f, DSNot):
+        inner = filter_to_spec(f.child, leaf_names)
+        return Not(inner) if inner is not None else None
+    attr = ".".join(f.attribute)
+    if attr not in leaf_names:
+        return None
+    for cls, op in _CMP_FILTERS.items():
+        if isinstance(f, cls):
+            return Cmp(attr, op, f.value) if f.value is not None else None
+    if isinstance(f, EqualNullSafe):
+        # col <=> v: for non-null v the selected rows equal plain eq
+        # (NULL rows fail both); for v IS NULL it is exactly IS NULL
+        return IsNull(attr) if f.value is None else Cmp(attr, "eq", f.value)
+    if isinstance(f, In):
+        vals = tuple(f.value)
+        if not vals or any(v is None for v in vals):
+            return None
+        return InList(attr, vals)
+    if isinstance(f, DSIsNull):
+        return IsNull(attr)
+    if isinstance(f, IsNotNull):
+        return IsNull(attr, negated=True)
+    if isinstance(f, (StringStartsWith, StringEndsWith, StringContains)):
+        v = f.value
+        if not isinstance(v, str) or "%" in v or "_" in v:
+            return None  # no ESCAPE support in the LIKE residual
+        if isinstance(f, StringStartsWith):
+            return StartsWith(attr, v)
+        if isinstance(f, StringEndsWith):
+            return Like(attr, f"%{v}")
+        return Like(attr, f"%{v}%")
+    return None
+
+
+def filters_to_spec(filters: Sequence[Filter], leaf_names: set[str]) -> Spec | None:
+    parts = [s for s in (filter_to_spec(f, leaf_names) for f in filters) if s is not None]
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else And(parts)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AislePartition(InputPartition):
+    path: str
+    rows: tuple | None  # surviving manifest row numbers; None = all
+
+
+def _committed_files(path: str) -> list[str]:
+    manifest = os.path.join(path, _FILES_MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            return [os.path.join(path, f) for f in json.load(fh)["files"]]
+    import glob
+
+    return sorted(
+        f
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+
+
+def _read_sidecar_schema(path: str) -> pa.Schema:
+    with open(os.path.join(path, _SCHEMA_SIDECAR), "rb") as fh:
+        return pa.ipc.read_schema(pa.py_buffer(fh.read()))
+
+
+class AisleReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+        self.arrow_schema = _read_sidecar_schema(path)
+        self.spec: Spec | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        from aisle_spark.schema import specs_for_schema
+
+        leaf_names = {s.name for s in specs_for_schema(self.arrow_schema)}
+        self.spec = filters_to_spec(filters, leaf_names)
+        # advisory pushdown: every filter goes back to Spark for exact
+        # re-evaluation; the translated conjunction only PRUNES
+        return filters
+
+    def partitions(self) -> Sequence[AislePartition]:
+        files = _committed_files(self.path)
+        if self.spec is None or not files:
+            return [AislePartition(f, None) for f in files]
+        import duckdb
+
+        from aisle_spark.prune_sql import keep_sql
+
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        sql = keep_sql(self.spec)
+        listed = "[" + ", ".join("'" + f.replace("'", "''") + "'" for f in files) + "]"
+        survivors = con.execute(
+            f"SELECT filename, file_row_number FROM read_parquet({listed}, "
+            f"filename=true, file_row_number=true) WHERE {sql} "
+            f"ORDER BY filename, file_row_number"
+        ).fetchall()
+        by_file: dict[str, list[int]] = {}
+        for fname, rowno in survivors:
+            by_file.setdefault(fname, []).append(int(rowno))
+        return [AislePartition(f, tuple(rows)) for f, rows in by_file.items()]
+
+    def read(self, partition: AislePartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:  # Spark schedules one task when partitions()==[]
+            return
+        import pyarrow.parquet as pq
+
+        from aisle_spark.pipeline import _decode_fn
+        from aisle_spark.schema import specs_for_schema
+
+        schema = self.arrow_schema
+        specs = specs_for_schema(schema)
+        spec_names = {s.name for s in specs}
+        # full projection (the DataSource contract has no column pruning
+        # yet): every leaf decodes, structs reassemble per table schema
+        flat_need = [s.name for s in specs]
+        plan = []
+        for i in range(len(schema)):
+            fld = schema.field(i)
+            if pa.types.is_struct(fld.type):
+                from aisle_spark.schema import leaves_under
+
+                plan.append(("struct", fld, set(leaves_under(schema, fld.name))))
+            else:
+                plan.append(("leaf", fld.name))
+
+        where = utc_normalize(self.spec) if self.spec is not None else None
+        payload_cols = [f"{c}__payload" for c in flat_need]
+        if where is not None:
+            chunk_kinds = (
+                "int", "timestamp", "duration", "float", "string", "binary", "decimal",
+            )
+            for c in sorted(where.columns()):
+                s = next((s for s in specs if s.name == c), None)
+                if s is not None and s.kind in chunk_kinds:
+                    payload_cols += [
+                        f"{c}__chunk_min", f"{c}__chunk_max", f"{c}__chunk_nulls",
+                    ]
+        tbl = pq.read_table(partition.path, columns=payload_cols)
+        if partition.rows is not None:
+            tbl = tbl.take(list(partition.rows))
+        decode, _out = _decode_fn(specs, flat_need, plan, where)
+        for batch in tbl.to_batches():
+            yield from decode(iter([batch]))
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AisleCommit(WriterCommitMessage):
+    filename: str
+    n_blocks: int
+
+
+class AisleWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, spark_schema: StructType, overwrite: bool,
+                 sort_cols: list[str], block_rows: int):
+        self.path = path
+        self.spark_schema = spark_schema
+        self.overwrite = overwrite
+        self.sort_cols = sort_cols
+        self.block_rows = block_rows
+
+    def _arrow_schema(self) -> pa.Schema:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.spark_schema)
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> AisleCommit:
+        import pyarrow.parquet as pq
+
+        from aisle_spark.blocks import encode_block
+        from aisle_spark.pipeline import (
+            DEFAULT_MAX_VALUES,
+            _order_and_slice,
+            _pin_worker_threads,
+        )
+        from aisle_spark.schema import (
+            blocks_arrow_schema,
+            flatten_table,
+            specs_for_schema,
+        )
+
+        _pin_worker_threads()
+        specs = specs_for_schema(self._arrow_schema())
+        out_schema = blocks_arrow_schema(specs)
+        sort_keys = [(c, "ascending") for c in self.sort_cols]
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        target = os.path.join(self.path, name)
+        os.makedirs(self.path, exist_ok=True)
+        task_salt = uuid.uuid4().int & 0x7FFF_FFFF
+        writer = None
+        n_blocks = 0
+        rows: list[dict] = []
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+        SLAB_ROWS = 262_144  # sort+encode granularity: bounded task memory
+        FLUSH_BLOCKS = 64  # one parquet row group per 64 blocks
+
+        def _flush_rows(force: bool) -> None:
+            nonlocal writer, rows
+            if rows and (force or len(rows) >= FLUSH_BLOCKS):
+                chunk = pa.Table.from_pylist(rows, schema=out_schema)
+                rows = []
+                if writer is None:
+                    writer = pq.ParquetWriter(target, out_schema, compression="zstd")
+                writer.write_table(chunk)
+
+        def _encode_slab() -> None:
+            nonlocal pending, pending_rows, n_blocks
+            if not pending:
+                return
+            tbl = flatten_table(pa.Table.from_batches(pending))
+            pending, pending_rows = [], 0
+            for block in _order_and_slice(
+                tbl, specs, sort_keys, self.block_rows, DEFAULT_MAX_VALUES
+            ):
+                block_id = (task_salt << 24) | n_blocks
+                rows.append(encode_block(specs, block, 0, block_id))
+                n_blocks += 1
+                _flush_rows(force=False)
+
+        try:
+            for batch in iterator:
+                pending.append(batch)
+                pending_rows += batch.num_rows
+                if pending_rows >= SLAB_ROWS:
+                    _encode_slab()
+            _encode_slab()
+            _flush_rows(force=True)
+            if writer is None:  # empty task still commits an empty file
+                writer = pq.ParquetWriter(target, out_schema, compression="zstd")
+        finally:
+            if writer is not None:
+                writer.close()
+        return AisleCommit(filename=name, n_blocks=n_blocks)
+
+    def commit(self, messages: list[AisleCommit]) -> None:
+        from aisle_spark.pipeline import _write_schema_sidecar
+
+        files = sorted(m.filename for m in messages if m is not None and m.n_blocks > 0)
+        manifest = os.path.join(self.path, _FILES_MANIFEST)
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest) as fh:
+                files = sorted(set(json.load(fh)["files"]) | set(files))
+        tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"files": files}, fh)
+        os.replace(tmp, manifest)
+        _write_schema_sidecar(self.path, self._arrow_schema())
+
+    def abort(self, messages: list[AisleCommit]) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+# ---------------------------------------------------------------------------
+# the data source
+# ---------------------------------------------------------------------------
+
+
+class AisleDataSource(DataSource):
+    """``format("aisle")``. Options:
+
+    * ``path`` — encoded table directory (required).
+    * ``sortCols`` — write path: comma-separated within-partition sort
+      columns (tight per-block stat ranges; same knob as
+      ``encode_table(sort_cols=...)``).
+    * ``blockRows`` — write path: rows per block (default 4096).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "aisle"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("format('aisle') requires a path")
+        return p
+
+    def schema(self) -> StructType:
+        from pyspark.sql import types as T
+
+        from aisle_spark.schema import _spark_type
+
+        arrow = _read_sidecar_schema(self._path())
+        return T.StructType(
+            [T.StructField(f.name, _spark_type(f.type), True) for f in arrow]
+        )
+
+    def reader(self, schema: StructType) -> AisleReader:
+        return AisleReader(self._path())
+
+    def writer(self, schema: StructType, overwrite: bool) -> AisleWriter:
+        from aisle_spark.pipeline import DEFAULT_BLOCK_ROWS
+
+        sort_cols = [
+            c.strip() for c in self.options.get("sortcols", "").split(",") if c.strip()
+        ]
+        block_rows = int(self.options.get("blockrows", DEFAULT_BLOCK_ROWS))
+        return AisleWriter(self._path(), schema, overwrite, sort_cols, block_rows)
+
+
+def register(spark) -> None:
+    """Register the source and enable Python filter pushdown (required —
+    a reader that implements ``pushFilters`` raises under Spark's default
+    conf otherwise)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(AisleDataSource)

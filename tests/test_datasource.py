@@ -1,0 +1,221 @@
+"""The engine as a Spark data source: ``spark.read.format("aisle")`` with
+advisory filter pushdown (planning-time block pruning through the DuckDB
+evidence dialect) and ``df.write.format("aisle")`` with manifest-commit
+semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from aisle_spark.datasource import (
+    AisleReader,
+    filters_to_spec,
+    register,
+)
+from aisle_spark.pipeline import arrow_schema_of, encode_table, write_encoded
+from aisle_spark.schema import synth_batch
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(spark, tmp_path_factory):
+    df = spark.createDataFrame(pa.Table.from_batches([synth_batch(1, 4000)]))
+    blocks = encode_table(df, parts=4, block_rows=256, sort_cols=["source", "n_tok"])
+    out = str(tmp_path_factory.mktemp("ds") / "enc")
+    write_encoded(blocks, out, arrow_schema_of(df))
+    register(spark)
+    return df, out
+
+
+class TestRead:
+    def test_full_read_roundtrip(self, spark, encoded_dir):
+        df, out = encoded_dir
+        got = spark.read.format("aisle").load(out)
+        assert sorted(got.columns) == sorted(df.columns)
+        g = {r.doc_id for r in got.select("doc_id").collect()}
+        e = {r.doc_id for r in df.select("doc_id").collect()}
+        assert g == e
+
+    def test_filtered_read_exact(self, spark, encoded_dir):
+        from pyspark.sql import functions as F
+
+        df, out = encoded_dir
+        got = (
+            spark.read.format("aisle")
+            .load(out)
+            .filter((F.col("source") == "books") & (F.col("n_tok") > 100))
+        )
+        exp = df.filter((F.col("source") == "books") & (F.col("n_tok") > 100))
+        g = sorted(r.doc_id for r in got.select("doc_id").collect())
+        e = sorted(r.doc_id for r in exp.select("doc_id").collect())
+        assert g == e and g
+
+    def test_filtered_read_all_types(self, spark, encoded_dir):
+        from pyspark.sql import functions as F
+
+        df, out = encoded_dir
+        loaded = spark.read.format("aisle").load(out)
+        preds = [
+            F.col("doc_id").startswith("web-"),
+            F.col("source").isin("web", "code"),
+            F.col("n_tok").isNotNull() & (F.col("n_tok") <= 50),
+            F.col("source") != "books",
+            F.col("doc_id").contains("-00"),
+        ]
+        for p in preds:
+            g = loaded.filter(p).count()
+            e = df.filter(p).count()
+            assert g == e, str(p)
+
+    def test_planning_prunes_blocks(self, spark, encoded_dir):
+        """The reader's partition planning must drop definitely-false
+        blocks before any task is scheduled."""
+        from pyspark.sql.datasource import EqualTo
+
+        df, out = encoded_dir
+        reader = AisleReader(out)
+        all_parts = reader.partitions()
+        total_blocks = sum(
+            len(p.rows) if p.rows is not None else 1 for p in all_parts
+        )
+        reader2 = AisleReader(out)
+        reader2.pushFilters([EqualTo(("source",), "books")])
+        pruned = reader2.partitions()
+        kept_blocks = sum(len(p.rows) for p in pruned)
+        # blocks are sorted on source: 'books' must concentrate
+        import pyarrow.parquet as pq
+
+        n_total = sum(
+            pq.read_metadata(p.path).num_rows for p in all_parts
+        )
+        assert 0 < kept_blocks < n_total
+
+    def test_impossible_predicate_zero_partitions(self, spark, encoded_dir):
+        from pyspark.sql import functions as F
+
+        df, out = encoded_dir
+        got = (
+            spark.read.format("aisle").load(out).filter(F.col("source") == "zzz-nope")
+        )
+        assert got.count() == 0
+
+
+class TestFilterTranslation:
+    def test_translation_shapes(self):
+        from pyspark.sql.datasource import (
+            EqualNullSafe,
+            EqualTo,
+            GreaterThan,
+            In,
+            IsNotNull,
+            Not,
+            StringContains,
+            StringStartsWith,
+        )
+
+        from aisle_spark.filterspec import (
+            And,
+            Cmp,
+            InList,
+            IsNull,
+            Like,
+            StartsWith,
+        )
+        from aisle_spark.filterspec import Not as SpecNot
+
+        leaves = {"a", "s", "meta.lang"}
+        spec = filters_to_spec(
+            [
+                EqualTo(("a",), 5),
+                Not(GreaterThan(("a",), 9)),
+                In(("s",), ("x", "y")),
+                IsNotNull(("s",)),
+                StringStartsWith(("s",), "pre"),
+                StringContains(("s",), "mid"),
+                EqualNullSafe(("meta", "lang"), None),
+                EqualTo(("unknown",), 1),  # dropped
+            ],
+            leaves,
+        )
+        assert isinstance(spec, And)
+        assert spec.parts == [
+            Cmp("a", "eq", 5),
+            SpecNot(Cmp("a", "gt", 9)),
+            InList("s", ("x", "y")),
+            IsNull("s", negated=True),
+            StartsWith("s", "pre"),
+            Like("s", "%mid%"),
+            IsNull("meta.lang"),
+        ]
+
+    def test_wildcards_in_contains_not_translated(self):
+        from pyspark.sql.datasource import StringContains
+
+        assert filters_to_spec([StringContains(("s",), "a%b")], {"s"}) is None
+
+
+class TestWrite:
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(2, 3000)]))
+        register(spark)
+        out = str(tmp_path / "w")
+        (
+            df.write.format("aisle")
+            .option("sortCols", "source,n_tok")
+            .option("blockRows", "512")
+            .mode("overwrite")
+            .save(out)
+        )
+        assert os.path.exists(os.path.join(out, "_aisle_files.json"))
+        assert os.path.exists(os.path.join(out, "_aisle_schema.arrow"))
+        got = spark.read.format("aisle").load(out)
+        g = sorted(r.doc_id for r in got.select("doc_id").collect())
+        e = sorted(r.doc_id for r in df.select("doc_id").collect())
+        assert g == e
+
+    def test_written_table_scannable_by_engine(self, spark, tmp_path):
+        """A DataSource-written table is the same on-disk layout the
+        library scan() reads — the two surfaces are interchangeable."""
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import read_encoded, scan
+
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(4, 2000)]))
+        register(spark)
+        out = str(tmp_path / "w2")
+        df.write.format("aisle").option("sortCols", "source").mode("append").save(out)
+        blocks, schema = read_encoded(spark, out)
+        got = scan(blocks, schema, where=col("source") == "web", columns=["doc_id"])
+        e = {r.doc_id for r in df.filter("source = 'web'").select("doc_id").collect()}
+        assert {r.doc_id for r in got.collect()} == e
+
+    def test_append_merges_manifest(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "w3")
+        df1 = spark.createDataFrame(pa.Table.from_batches([synth_batch(5, 800)]))
+        df2 = df1.withColumn("doc_id", F.concat(F.lit("b-"), F.col("doc_id")))
+        df1.write.format("aisle").mode("append").save(out)
+        df2.write.format("aisle").mode("append").save(out)
+        got = spark.read.format("aisle").load(out)
+        assert got.count() == df1.count() * 2
+
+    def test_uncommitted_files_invisible(self, spark, tmp_path):
+        """Manifest-commit: a stray parquet not in _aisle_files.json is
+        never read (failed/speculative attempt semantics)."""
+        register(spark)
+        out = str(tmp_path / "w4")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(6, 500)]))
+        df.write.format("aisle").mode("append").save(out)
+        n = spark.read.format("aisle").load(out).count()
+        with open(os.path.join(out, "_aisle_files.json")) as fh:
+            committed = json.load(fh)["files"]
+        import shutil
+
+        shutil.copy(
+            os.path.join(out, committed[0]), os.path.join(out, "part-orphan.parquet")
+        )
+        assert spark.read.format("aisle").load(out).count() == n
