@@ -11,10 +11,12 @@ Usage (north rule: "runs via spark-submit --py-files"):
 
   spark-submit --py-files aisle_spark.zip -m aisle_spark.cli … \
       scan --table /data/encoded \
-           --where "col('source') == 'code') & (col('n_tok') > 100" … \
+           --where "source = 'code' AND n_tok > 100" \
            --columns doc_id,n_tok --output /data/result
 
-The --where expression is evaluated with ONLY the `col` builder in scope.
+--where takes a SQL predicate (sqlcompile.parse_where); strings containing
+`col(` fall back to the legacy builder-expression form, evaluated with
+ONLY the `col` builder in scope.
 """
 
 from __future__ import annotations
@@ -108,7 +110,13 @@ def cmd_scan(args) -> None:
     blocks, schema = read_encoded(spark, args.table)
     where = None
     if args.where:
-        where = eval(args.where, {"__builtins__": {}}, {"col": col})  # noqa: S307
+        if "col(" in args.where:
+            # legacy builder-expression form
+            where = eval(args.where, {"__builtins__": {}}, {"col": col})  # noqa: S307
+        else:
+            from aisle_spark.sqlcompile import parse_where
+
+            where = parse_where(args.where)
     columns = args.columns.split(",") if args.columns else None
     out = scan(blocks, schema, where=where, columns=columns)
     if args.output:

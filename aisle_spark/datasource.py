@@ -174,11 +174,62 @@ def _read_sidecar_schema(path: str) -> pa.Schema:
         return pa.ipc.read_schema(pa.py_buffer(fh.read()))
 
 
+def _validate_exact_where(spec: Spec, arrow_schema: pa.Schema) -> None:
+    """The ``where`` option is EXACT (Spark never re-evaluates it), so it
+    is restricted to the predicate subset the in-reader row mask fully
+    covers: scalar top-level columns, rowmask-supported node types."""
+    from aisle_spark.filterspec import AlwaysTrue, Between, Or
+    from aisle_spark.schema import specs_for_schema
+
+    scalar = {
+        s.name
+        for s in specs_for_schema(arrow_schema)
+        if s.kind not in ("intlist", "floatlist", "map") and "." not in s.name
+    }
+
+    def walk(node: Spec) -> None:
+        if isinstance(node, (And, Or)):
+            for p in node.parts:
+                walk(p)
+            return
+        if isinstance(node, Not):
+            walk(node.inner)
+            return
+        if isinstance(node, AlwaysTrue):
+            return
+        if not isinstance(node, (Cmp, Between, InList, IsNull, StartsWith, Like)):
+            raise ValueError(
+                f"where option: {type(node).__name__} predicates are not "
+                "supported here (use the library scan() for array/map "
+                "predicates, or a DataFrame .filter() which Spark evaluates)"
+            )
+        bad = node.columns() - scalar
+        if bad:
+            raise ValueError(
+                f"where option: columns {sorted(bad)} are not top-level "
+                "scalar columns; use a DataFrame .filter() instead"
+            )
+
+    walk(spec)
+
+
 class AisleReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, where: str | None = None):
         self.path = path
         self.arrow_schema = _read_sidecar_schema(path)
         self.spec: Spec | None = None
+        self.exact_where: Spec | None = None
+        if where:
+            from aisle_spark.sqlcompile import parse_where
+
+            self.exact_where = parse_where(where)
+            _validate_exact_where(self.exact_where, self.arrow_schema)
+
+    def _prune_spec(self) -> Spec | None:
+        parts = [s for s in (self.spec, self.exact_where) if s is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else And(parts)
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         from aisle_spark.schema import specs_for_schema
@@ -191,7 +242,8 @@ class AisleReader(DataSourceReader):
 
     def partitions(self) -> Sequence[AislePartition]:
         files = _committed_files(self.path)
-        if self.spec is None or not files:
+        prune = self._prune_spec()
+        if prune is None or not files:
             return [AislePartition(f, None) for f in files]
         import duckdb
 
@@ -199,7 +251,7 @@ class AisleReader(DataSourceReader):
 
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
-        sql = keep_sql(self.spec)
+        sql = keep_sql(prune)
         listed = "[" + ", ".join("'" + f.replace("'", "''") + "'" for f in files) + "]"
         survivors = con.execute(
             f"SELECT filename, file_row_number FROM read_parquet({listed}, "
@@ -235,7 +287,11 @@ class AisleReader(DataSourceReader):
             else:
                 plan.append(("leaf", fld.name))
 
-        where = utc_normalize(self.spec) if self.spec is not None else None
+        prune = self._prune_spec()
+        where = utc_normalize(prune) if prune is not None else None
+        exact = (
+            utc_normalize(self.exact_where) if self.exact_where is not None else None
+        )
         payload_cols = [f"{c}__payload" for c in flat_need]
         if where is not None:
             chunk_kinds = (
@@ -252,7 +308,15 @@ class AisleReader(DataSourceReader):
             tbl = tbl.take(list(partition.rows))
         decode, _out = _decode_fn(specs, flat_need, plan, where)
         for batch in tbl.to_batches():
-            yield from decode(iter([batch]))
+            for out in decode(iter([batch])):
+                if exact is not None and out.num_rows:
+                    # the where OPTION is exact (Spark never re-checks it):
+                    # validated to the rowmask-complete scalar subset, so
+                    # this mask is authoritative
+                    from aisle_spark.rowmask import row_mask
+
+                    out = out.filter(pa.array(row_mask(exact, out)))
+                yield out
 
 
 # ---------------------------------------------------------------------------
@@ -381,6 +445,12 @@ class AisleDataSource(DataSource):
     """``format("aisle")``. Options:
 
     * ``path`` — encoded table directory (required).
+    * ``where`` — read path: a SQL predicate compiled by
+      ``sqlcompile.parse_where`` and applied EXACTLY inside the reader
+      (pruning + row mask); restricted to scalar top-level columns.
+      Ordinary ``.filter()`` predicates are pushed down automatically —
+      this option exists for predicate shapes Spark cannot push (IN over
+      many values survives, BETWEEN, LIKE patterns, OR trees).
     * ``sortCols`` — write path: comma-separated within-partition sort
       columns (tight per-block stat ranges; same knob as
       ``encode_table(sort_cols=...)``).
@@ -408,7 +478,7 @@ class AisleDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> AisleReader:
-        return AisleReader(self._path())
+        return AisleReader(self._path(), where=self.options.get("where"))
 
     def writer(self, schema: StructType, overwrite: bool) -> AisleWriter:
         from aisle_spark.pipeline import DEFAULT_BLOCK_ROWS

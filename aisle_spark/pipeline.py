@@ -837,15 +837,23 @@ def _assert_utc_for_datetime_literals(blocks: DataFrame, where: Spec) -> None:
 def scan(
     blocks: DataFrame,
     schema: pa.Schema,
-    where: Spec | None = None,
+    where: Spec | str | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
     """Pruned, projected, exact scan over an encoded blocks table.
+
+    ``where`` accepts a Spec from the ``col()`` builder or a SQL WHERE
+    string (compiled by sqlcompile.parse_where — the reference's
+    compile_expr entry, /root/reference/src/compile.rs).
 
     ``schema`` is the ORIGINAL (possibly nested) table schema; ``columns``
     names top-level columns; predicates may use dotted leaf paths
     (``col("meta.lang") == "en"``) — the residual then evaluates as
     Spark's native nested field access on the reassembled struct."""
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
     specs = specs_for_schema(schema)
     top_fields = {schema.field(i).name: schema.field(i) for i in range(len(schema))}
     out_cols = columns or list(top_fields)

@@ -219,3 +219,49 @@ class TestWrite:
             os.path.join(out, committed[0]), os.path.join(out, "part-orphan.parquet")
         )
         assert spark.read.format("aisle").load(out).count() == n
+
+
+class TestWhereOption:
+    def test_exact_where_option(self, spark, encoded_dir):
+        df, out = encoded_dir
+        got = (
+            spark.read.format("aisle")
+            .option("where", "source IN ('web','books') AND n_tok BETWEEN 10 AND 90")
+            .load(out)
+        )
+        exp = df.filter("source IN ('web','books') AND n_tok BETWEEN 10 AND 90")
+        assert sorted(r.doc_id for r in got.collect()) == sorted(
+            r.doc_id for r in exp.collect()
+        )
+
+    def test_where_option_composes_with_filters(self, spark, encoded_dir):
+        from pyspark.sql import functions as F
+
+        df, out = encoded_dir
+        got = (
+            spark.read.format("aisle")
+            .option("where", "doc_id LIKE 'code-%'")
+            .load(out)
+            .filter(F.col("n_tok") > 50)
+        )
+        exp = df.filter("doc_id LIKE 'code-%' AND n_tok > 50")
+        assert got.count() == exp.count() > 0
+
+    def test_where_option_rejects_array_predicates(self, spark, encoded_dir):
+        _df, out = encoded_dir
+        with pytest.raises(Exception, match="not supported here"):
+            spark.read.format("aisle").option(
+                "where", "size(tokens) > 3"
+            ).load(out).count()
+
+
+def test_scan_accepts_sql_string(spark, encoded_dir):
+    from aisle_spark.pipeline import read_encoded, scan
+
+    df, out = encoded_dir
+    blocks, schema = read_encoded(spark, out)
+    got = scan(blocks, schema, where="source = 'web' AND n_tok >= 20", columns=["doc_id"])
+    exp = df.filter("source = 'web' AND n_tok >= 20")
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in exp.select("doc_id").collect()
+    )
