@@ -448,6 +448,67 @@ def _dataop_query(name: str):
     return run
 
 
+# ---------------------------------------------------------------------------
+# data-source surface gates: documents encoded THROUGH df.write.format
+# ("aisle"), read back through spark.read.format("aisle") — planning-time
+# DuckDB block pruning + advisory filter pushdown + the exact where option
+# ---------------------------------------------------------------------------
+
+_DS_DIRS: dict[str, str] = {}
+
+
+def _ds_dir(spark: SparkSession, sf_dir: str) -> str:
+    from aisle_spark.datasource import register
+
+    register(spark)
+    out = _DS_DIRS.get(sf_dir)
+    if out is None:
+        import tempfile
+
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = tempfile.mkdtemp(prefix="aisle_ds_") + "/docs"
+        (
+            df.write.format("aisle")
+            .option("sortCols", "source,n_chars")
+            .mode("append")
+            .save(out)
+        )
+        _DS_DIRS[sf_dir] = out
+    return out
+
+
+def _ds_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.format("aisle")
+        .load(_ds_dir(spark, sf_dir))
+        .filter((F.col("source") == "src2") & (F.col("n_chars") > 300))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def _ds_where_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.format("aisle")
+        .option("where", "n_chars BETWEEN 100 AND 350 AND source IN ('src0','src4')")
+        .load(_ds_dir(spark, sf_dir))
+        .select("doc_id", "n_chars")
+    )
+
+
+_DS_QUERIES = {
+    "datasource_pushdown_scan": (
+        _ds_pushdown_query,
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE source = 'src2' AND n_chars > 300",
+    ),
+    "datasource_where_scan": (
+        _ds_where_query,
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars BETWEEN 100 AND 350 AND source IN ('src0','src4')",
+    ),
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from aisle_spark.dataops import DATAOPS
 
@@ -460,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = q
     for name in DATAOPS:
         out[name] = _dataop_query(name)
+    for name, (fn, _sql) in _DS_QUERIES.items():
+        out[name] = fn
     return out
 
 
@@ -481,4 +544,6 @@ def oracle_sql() -> dict[str, str]:
     for name, (_view, sqlfn, has_oracle, _spark_only) in DATAOPS.items():
         if has_oracle:
             out[name] = sqlfn("duckdb")
+    for name, (_fn, sql) in _DS_QUERIES.items():
+        out[name] = sql
     return out

@@ -303,9 +303,35 @@ class AisleReader(DataSourceReader):
                     payload_cols += [
                         f"{c}__chunk_min", f"{c}__chunk_max", f"{c}__chunk_nulls",
                     ]
-        tbl = pq.read_table(partition.path, columns=payload_cols)
-        if partition.rows is not None:
-            tbl = tbl.take(list(partition.rows))
+        if partition.rows is None:
+            tbl = pq.read_table(partition.path, columns=payload_cols)
+        else:
+            # row-group-granular I/O: both writers emit one row group per
+            # ~64 blocks, so the payload bytes of pruned blocks in other
+            # row groups are never read at all
+            pf = pq.ParquetFile(partition.path)
+            bounds = [0]
+            for g in range(pf.num_row_groups):
+                bounds.append(bounds[-1] + pf.metadata.row_group(g).num_rows)
+            import bisect
+
+            wanted = sorted(
+                {bisect.bisect_right(bounds, r) - 1 for r in partition.rows}
+            )
+            tbl = pf.read_row_groups(wanted, columns=payload_cols)
+            offset = {g: bounds[g] for g in wanted}
+            local_base: dict[int, int] = {}
+            acc = 0
+            for g in wanted:
+                local_base[g] = acc
+                acc += bounds[g + 1] - bounds[g]
+            tbl = tbl.take(
+                [
+                    local_base[bisect.bisect_right(bounds, r) - 1]
+                    + (r - offset[bisect.bisect_right(bounds, r) - 1])
+                    for r in partition.rows
+                ]
+            )
         decode, _out = _decode_fn(specs, flat_need, plan, where)
         for batch in tbl.to_batches():
             for out in decode(iter([batch])):

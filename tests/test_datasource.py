@@ -265,3 +265,36 @@ def test_scan_accepts_sql_string(spark, encoded_dir):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in exp.select("doc_id").collect()
     )
+
+
+def test_multi_rowgroup_filtered_read(spark, tmp_path):
+    """>64 blocks => several parquet row groups; pruned reads must pick
+    the right rows across row-group boundaries."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    df = spark.createDataFrame(
+        pa.Table.from_batches([synth_batch(7, 12000)])
+    ).repartition(1)
+    out = str(tmp_path / "rg")
+    (
+        df.write.format("aisle")
+        .option("sortCols", "source,n_tok")
+        .option("blockRows", "64")
+        .mode("append")
+        .save(out)
+    )
+    import pyarrow.parquet as pq
+
+    f = _committed(out)
+    assert pq.ParquetFile(f).num_row_groups >= 2
+    loaded = spark.read.format("aisle").load(out)
+    for pred in ("source = 'books' AND n_tok > 100", "n_tok BETWEEN 17 AND 23"):
+        g = sorted(r.doc_id for r in loaded.filter(pred).collect())
+        e = sorted(r.doc_id for r in df.filter(pred).collect())
+        assert g == e and g, pred
+
+
+def _committed(out):
+    with open(os.path.join(out, "_aisle_files.json")) as fh:
+        return os.path.join(out, json.load(fh)["files"][0])
