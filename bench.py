@@ -265,6 +265,18 @@ def main() -> None:
         columns=["doc_id", "n_tok"],
     ).count()
     queries["scan_point_chunkskip"] = round(time.time() - t0, 3)
+
+    # same equality scan through the spark.read.format("aisle") surface:
+    # planning-time DuckDB block pruning + pushed-filter re-check (full
+    # projection — the DataSource contract has no column pruning yet)
+    from aisle_spark.datasource import register
+
+    register(spark)
+    t0 = time.time()
+    spark.read.format("aisle").load(enc_path).filter(
+        F.col("source") == "code"
+    ).agg(F.count("*"), F.sum("n_tok")).collect()
+    queries["scan_source_eq_datasource"] = round(time.time() - t0, 3)
     blocks.unpersist()
 
     # --- engine queries over driver testdata (documents) ---
