@@ -213,10 +213,22 @@ def _validate_exact_where(spec: Spec, arrow_schema: pa.Schema) -> None:
     walk(spec)
 
 
+def _project_schema(arrow: pa.Schema, columns: list[str] | None) -> pa.Schema:
+    if not columns:
+        return arrow
+    by_name = {arrow.field(i).name: arrow.field(i) for i in range(len(arrow))}
+    missing = [c for c in columns if c not in by_name]
+    if missing:
+        raise ValueError(f"columns option: unknown columns {missing}")
+    return pa.schema([by_name[c] for c in columns])
+
+
 class AisleReader(DataSourceReader):
-    def __init__(self, path: str, where: str | None = None):
+    def __init__(self, path: str, where: str | None = None,
+                 columns: list[str] | None = None):
         self.path = path
         self.arrow_schema = _read_sidecar_schema(path)
+        self.out_schema = _project_schema(self.arrow_schema, columns)
         self.spec: Spec | None = None
         self.exact_where: Spec | None = None
         if where:
@@ -273,25 +285,35 @@ class AisleReader(DataSourceReader):
 
         schema = self.arrow_schema
         specs = specs_for_schema(schema)
-        spec_names = {s.name for s in specs}
-        # full projection (the DataSource contract has no column pruning
-        # yet): every leaf decodes, structs reassemble per table schema
-        flat_need = [s.name for s in specs]
-        plan = []
-        for i in range(len(schema)):
-            fld = schema.field(i)
-            if pa.types.is_struct(fld.type):
-                from aisle_spark.schema import leaves_under
-
-                plan.append(("struct", fld, set(leaves_under(schema, fld.name))))
-            else:
-                plan.append(("leaf", fld.name))
-
         prune = self._prune_spec()
         where = utc_normalize(prune) if prune is not None else None
         exact = (
             utc_normalize(self.exact_where) if self.exact_where is not None else None
         )
+
+        # decode set = projected leaves ∪ predicate leaves (the columns
+        # option prunes decode like scan(columns=...); predicate-only
+        # leaves ride along for the mask and are dropped before yield)
+        from aisle_spark.schema import leaves_under
+
+        out_names = [self.out_schema.field(i).name for i in range(len(self.out_schema))]
+        pred_cols = sorted(where.columns()) if where is not None else []
+        flat_need: list[str] = []
+        plan = []
+        for i in range(len(self.out_schema)):
+            fld = self.out_schema.field(i)
+            ls = leaves_under(schema, fld.name)
+            flat_need.extend(ls)
+            if pa.types.is_struct(fld.type):
+                plan.append(("struct", fld, set(ls)))
+            else:
+                plan.append(("leaf", fld.name))
+        for c in pred_cols:
+            if c not in flat_need:
+                flat_need.append(c)
+                if "." not in c:
+                    plan.append(("leaf", c))
+        flat_need = [s.name for s in specs if s.name in set(flat_need)]
         payload_cols = [f"{c}__payload" for c in flat_need]
         if where is not None:
             chunk_kinds = (
@@ -332,7 +354,8 @@ class AisleReader(DataSourceReader):
                     for r in partition.rows
                 ]
             )
-        decode, _out = _decode_fn(specs, flat_need, plan, where)
+        decode, dec_schema = _decode_fn(specs, flat_need, plan, where)
+        project = list(dec_schema.names) != out_names
         for batch in tbl.to_batches():
             for out in decode(iter([batch])):
                 if exact is not None and out.num_rows:
@@ -342,6 +365,8 @@ class AisleReader(DataSourceReader):
                     from aisle_spark.rowmask import row_mask
 
                     out = out.filter(pa.array(row_mask(exact, out)))
+                if project:  # drop predicate-only ride-along columns
+                    out = out.select(out_names)
                 yield out
 
 
@@ -477,6 +502,10 @@ class AisleDataSource(DataSource):
       Ordinary ``.filter()`` predicates are pushed down automatically —
       this option exists for predicate shapes Spark cannot push (IN over
       many values survives, BETWEEN, LIKE patterns, OR trees).
+    * ``columns`` — read path: comma-separated projection; only these
+      payloads decode (the Python DataSource contract has no
+      column-pruning pushdown, so projection is an option, like
+      ``scan(columns=...)``).
     * ``sortCols`` — write path: comma-separated within-partition sort
       columns (tight per-block stat ranges; same knob as
       ``encode_table(sort_cols=...)``).
@@ -493,18 +522,27 @@ class AisleDataSource(DataSource):
             raise ValueError("format('aisle') requires a path")
         return p
 
+    def _columns(self) -> list[str] | None:
+        raw = self.options.get("columns", "")
+        cols = [c.strip() for c in raw.split(",") if c.strip()]
+        return cols or None
+
     def schema(self) -> StructType:
         from pyspark.sql import types as T
 
         from aisle_spark.schema import _spark_type
 
-        arrow = _read_sidecar_schema(self._path())
+        arrow = _project_schema(_read_sidecar_schema(self._path()), self._columns())
         return T.StructType(
             [T.StructField(f.name, _spark_type(f.type), True) for f in arrow]
         )
 
     def reader(self, schema: StructType) -> AisleReader:
-        return AisleReader(self._path(), where=self.options.get("where"))
+        return AisleReader(
+            self._path(),
+            where=self.options.get("where"),
+            columns=self._columns(),
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> AisleWriter:
         from aisle_spark.pipeline import DEFAULT_BLOCK_ROWS

@@ -267,15 +267,17 @@ def main() -> None:
     queries["scan_point_chunkskip"] = round(time.time() - t0, 3)
 
     # same equality scan through the spark.read.format("aisle") surface:
-    # planning-time DuckDB block pruning + pushed-filter re-check (full
-    # projection — the DataSource contract has no column pruning yet)
+    # planning-time DuckDB block pruning + pushed-filter re-check, with
+    # the columns option matching scan_source_eq's projection
     from aisle_spark.datasource import register
 
     register(spark)
     t0 = time.time()
-    spark.read.format("aisle").load(enc_path).filter(
-        F.col("source") == "code"
-    ).agg(F.count("*"), F.sum("n_tok")).collect()
+    spark.read.format("aisle").option("columns", "doc_id,n_tok,source").load(
+        enc_path
+    ).filter(F.col("source") == "code").agg(
+        F.count("*"), F.sum("n_tok")
+    ).collect()
     queries["scan_source_eq_datasource"] = round(time.time() - t0, 3)
     blocks.unpersist()
 

@@ -298,3 +298,48 @@ def test_multi_rowgroup_filtered_read(spark, tmp_path):
 def _committed(out):
     with open(os.path.join(out, "_aisle_files.json")) as fh:
         return os.path.join(out, json.load(fh)["files"][0])
+
+
+class TestColumnsOption:
+    def test_projection(self, spark, encoded_dir):
+        df, out = encoded_dir
+        got = (
+            spark.read.format("aisle")
+            .option("columns", "doc_id,n_tok")
+            .load(out)
+        )
+        assert got.columns == ["doc_id", "n_tok"]
+        assert got.count() == df.count()
+
+    def test_projection_with_filter_on_dropped_column(self, spark, encoded_dir):
+        """where option may reference non-projected columns: they decode
+        for the mask and are dropped from the output."""
+        df, out = encoded_dir
+        got = (
+            spark.read.format("aisle")
+            .option("columns", "doc_id")
+            .option("where", "source = 'web' AND n_tok > 60")
+            .load(out)
+        )
+        assert got.columns == ["doc_id"]
+        e = sorted(
+            r.doc_id for r in df.filter("source = 'web' AND n_tok > 60").collect()
+        )
+        assert sorted(r.doc_id for r in got.collect()) == e and e
+
+    def test_projection_with_pushed_filter(self, spark, encoded_dir):
+        from pyspark.sql import functions as F
+
+        df, out = encoded_dir
+        got = (
+            spark.read.format("aisle")
+            .option("columns", "doc_id,source")
+            .load(out)
+            .filter(F.col("source") == "code")
+        )
+        assert got.count() == df.filter("source = 'code'").count()
+
+    def test_unknown_column_rejected(self, spark, encoded_dir):
+        _df, out = encoded_dir
+        with pytest.raises(Exception, match="unknown columns"):
+            spark.read.format("aisle").option("columns", "nope").load(out).count()
