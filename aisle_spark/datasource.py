@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -278,96 +279,180 @@ class AisleReader(DataSourceReader):
     def read(self, partition: AislePartition) -> Iterator[pa.RecordBatch]:
         if partition is None:  # Spark schedules one task when partitions()==[]
             return
-        import pyarrow.parquet as pq
-
-        from aisle_spark.pipeline import _decode_fn
-        from aisle_spark.schema import specs_for_schema
-
-        schema = self.arrow_schema
-        specs = specs_for_schema(schema)
-        prune = self._prune_spec()
-        where = utc_normalize(prune) if prune is not None else None
-        exact = (
-            utc_normalize(self.exact_where) if self.exact_where is not None else None
+        yield from _decode_file(
+            self.arrow_schema,
+            self.out_schema,
+            partition.path,
+            partition.rows,
+            self._prune_spec(),
+            self.exact_where,
         )
 
-        # decode set = projected leaves ∪ predicate leaves (the columns
-        # option prunes decode like scan(columns=...); predicate-only
-        # leaves ride along for the mask and are dropped before yield)
-        from aisle_spark.schema import leaves_under
 
-        out_names = [self.out_schema.field(i).name for i in range(len(self.out_schema))]
-        pred_cols = sorted(where.columns()) if where is not None else []
-        flat_need: list[str] = []
-        plan = []
-        for i in range(len(self.out_schema)):
-            fld = self.out_schema.field(i)
-            ls = leaves_under(schema, fld.name)
-            flat_need.extend(ls)
-            if pa.types.is_struct(fld.type):
-                plan.append(("struct", fld, set(ls)))
-            else:
-                plan.append(("leaf", fld.name))
-        for c in pred_cols:
-            if c not in flat_need:
-                flat_need.append(c)
-                if "." not in c:
-                    plan.append(("leaf", c))
-        flat_need = [s.name for s in specs if s.name in set(flat_need)]
-        payload_cols = [f"{c}__payload" for c in flat_need]
-        if where is not None:
-            chunk_kinds = (
-                "int", "timestamp", "duration", "float", "string", "binary", "decimal",
-            )
-            for c in sorted(where.columns()):
-                s = next((s for s in specs if s.name == c), None)
-                if s is not None and s.kind in chunk_kinds:
-                    payload_cols += [
-                        f"{c}__chunk_min", f"{c}__chunk_max", f"{c}__chunk_nulls",
-                    ]
-        if partition.rows is None:
-            tbl = pq.read_table(partition.path, columns=payload_cols)
+def _decode_file(
+    schema: pa.Schema,
+    out_schema: pa.Schema,
+    path: str,
+    rows: tuple | None,
+    prune: Spec | None,
+    exact_where: Spec | None,
+) -> Iterator[pa.RecordBatch]:
+    """Decode one committed block file (optionally only the ``rows``
+    manifest rows) into Arrow batches of ``out_schema`` — the shared read
+    engine of the batch reader and the streaming reader."""
+    import pyarrow.parquet as pq
+
+    from aisle_spark.pipeline import _decode_fn
+    from aisle_spark.schema import specs_for_schema
+
+    specs = specs_for_schema(schema)
+    where = utc_normalize(prune) if prune is not None else None
+    exact = utc_normalize(exact_where) if exact_where is not None else None
+
+    # decode set = projected leaves ∪ predicate leaves (the columns
+    # option prunes decode like scan(columns=...); predicate-only
+    # leaves ride along for the mask and are dropped before yield)
+    from aisle_spark.schema import leaves_under
+
+    out_names = [out_schema.field(i).name for i in range(len(out_schema))]
+    pred_cols = sorted(where.columns()) if where is not None else []
+    flat_need: list[str] = []
+    plan = []
+    for i in range(len(out_schema)):
+        fld = out_schema.field(i)
+        ls = leaves_under(schema, fld.name)
+        flat_need.extend(ls)
+        if pa.types.is_struct(fld.type):
+            plan.append(("struct", fld, set(ls)))
         else:
-            # row-group-granular I/O: both writers emit one row group per
-            # ~64 blocks, so the payload bytes of pruned blocks in other
-            # row groups are never read at all
-            pf = pq.ParquetFile(partition.path)
-            bounds = [0]
-            for g in range(pf.num_row_groups):
-                bounds.append(bounds[-1] + pf.metadata.row_group(g).num_rows)
-            import bisect
-
-            wanted = sorted(
-                {bisect.bisect_right(bounds, r) - 1 for r in partition.rows}
-            )
-            tbl = pf.read_row_groups(wanted, columns=payload_cols)
-            offset = {g: bounds[g] for g in wanted}
-            local_base: dict[int, int] = {}
-            acc = 0
-            for g in wanted:
-                local_base[g] = acc
-                acc += bounds[g + 1] - bounds[g]
-            tbl = tbl.take(
-                [
-                    local_base[bisect.bisect_right(bounds, r) - 1]
-                    + (r - offset[bisect.bisect_right(bounds, r) - 1])
-                    for r in partition.rows
+            plan.append(("leaf", fld.name))
+    for c in pred_cols:
+        if c not in flat_need:
+            flat_need.append(c)
+            if "." not in c:
+                plan.append(("leaf", c))
+    flat_need = [s.name for s in specs if s.name in set(flat_need)]
+    payload_cols = [f"{c}__payload" for c in flat_need]
+    if where is not None:
+        chunk_kinds = (
+            "int", "timestamp", "duration", "float", "string", "binary", "decimal",
+        )
+        for c in sorted(where.columns()):
+            s = next((s for s in specs if s.name == c), None)
+            if s is not None and s.kind in chunk_kinds:
+                payload_cols += [
+                    f"{c}__chunk_min", f"{c}__chunk_max", f"{c}__chunk_nulls",
                 ]
-            )
-        decode, dec_schema = _decode_fn(specs, flat_need, plan, where)
-        project = list(dec_schema.names) != out_names
-        for batch in tbl.to_batches():
-            for out in decode(iter([batch])):
-                if exact is not None and out.num_rows:
-                    # the where OPTION is exact (Spark never re-checks it):
-                    # validated to the rowmask-complete scalar subset, so
-                    # this mask is authoritative
-                    from aisle_spark.rowmask import row_mask
+    if rows is None:
+        tbl = pq.read_table(path, columns=payload_cols)
+    else:
+        # row-group-granular I/O: both writers emit one row group per
+        # ~64 blocks, so the payload bytes of pruned blocks in other
+        # row groups are never read at all
+        pf = pq.ParquetFile(path)
+        bounds = [0]
+        for g in range(pf.num_row_groups):
+            bounds.append(bounds[-1] + pf.metadata.row_group(g).num_rows)
+        import bisect
 
-                    out = out.filter(pa.array(row_mask(exact, out)))
-                if project:  # drop predicate-only ride-along columns
-                    out = out.select(out_names)
-                yield out
+        wanted = sorted(
+            {bisect.bisect_right(bounds, r) - 1 for r in rows}
+        )
+        tbl = pf.read_row_groups(wanted, columns=payload_cols)
+        offset = {g: bounds[g] for g in wanted}
+        local_base: dict[int, int] = {}
+        acc = 0
+        for g in wanted:
+            local_base[g] = acc
+            acc += bounds[g + 1] - bounds[g]
+        tbl = tbl.take(
+            [
+                local_base[bisect.bisect_right(bounds, r) - 1]
+                + (r - offset[bisect.bisect_right(bounds, r) - 1])
+                for r in rows
+            ]
+        )
+    decode, dec_schema = _decode_fn(specs, flat_need, plan, where)
+    project = list(dec_schema.names) != out_names
+    for batch in tbl.to_batches():
+        for out in decode(iter([batch])):
+            if exact is not None and out.num_rows:
+                # the where OPTION is exact (Spark never re-checks it):
+                # validated to the rowmask-complete scalar subset, so
+                # this mask is authoritative
+                from aisle_spark.rowmask import row_mask
+
+                out = out.filter(pa.array(row_mask(exact, out)))
+            if project:  # drop predicate-only ride-along columns
+                out = out.select(out_names)
+            yield out
+
+
+# ---------------------------------------------------------------------------
+# streaming reader: tail the committed-file manifest
+# ---------------------------------------------------------------------------
+
+
+class AisleStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("aisle")`` — the streaming face of the
+    manifest-commit protocol: every micro-batch reads exactly the block
+    files that entered ``_aisle_files.json`` since the last offset. Pairs
+    with the engine's streaming sink (streaming.py) and the batch writer's
+    append mode for an end-to-end exactly-once encoded stream: files
+    become visible atomically at manifest rename, so an offset is a
+    consistent snapshot by construction.
+
+    Offsets are the SET of committed file names (a recursive dict, as the
+    DataSource offset contract requires) — robust to the manifest being
+    kept sorted rather than append-ordered. At very large file counts
+    offsets grow with the table; compact retired batches out of the
+    manifest (the streaming sink's ``batches`` map supports this) before
+    that becomes a concern.
+
+    The ``where``/``columns`` options apply per micro-batch through the
+    same `_decode_file` engine as the batch reader."""
+
+    def __init__(self, path: str, where: str | None = None,
+                 columns: list[str] | None = None):
+        self.path = path
+        self.arrow_schema = _read_sidecar_schema(path)
+        self.out_schema = _project_schema(self.arrow_schema, columns)
+        self.exact_where: Spec | None = None
+        if where:
+            from aisle_spark.sqlcompile import parse_where
+
+            self.exact_where = parse_where(where)
+            _validate_exact_where(self.exact_where, self.arrow_schema)
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def latestOffset(self) -> dict:
+        return {
+            "seen": {os.path.basename(f): True for f in _committed_files(self.path)}
+        }
+
+    def partitions(self, start: dict, end: dict) -> Sequence[AislePartition]:
+        new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
+        return [AislePartition(os.path.join(self.path, f), None) for f in new]
+
+    def read(self, partition: AislePartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:
+            return
+        yield from _decode_file(
+            self.arrow_schema,
+            self.out_schema,
+            partition.path,
+            None,
+            self.exact_where,
+            self.exact_where,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's checkpoint; nothing to retire
+
+    def stop(self) -> None:
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -539,6 +624,13 @@ class AisleDataSource(DataSource):
 
     def reader(self, schema: StructType) -> AisleReader:
         return AisleReader(
+            self._path(),
+            where=self.options.get("where"),
+            columns=self._columns(),
+        )
+
+    def streamReader(self, schema: StructType) -> AisleStreamReader:
+        return AisleStreamReader(
             self._path(),
             where=self.options.get("where"),
             columns=self._columns(),

@@ -343,3 +343,66 @@ class TestColumnsOption:
         _df, out = encoded_dir
         with pytest.raises(Exception, match="unknown columns"):
             spark.read.format("aisle").option("columns", "nope").load(out).count()
+
+
+class TestStreamRead:
+    def test_stream_tails_manifest_commits(self, spark, tmp_path):
+        """readStream picks up exactly the files committed since the last
+        offset: run availableNow over the initial table, append a second
+        write, run again with the same checkpoint — only new rows arrive."""
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "st")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        df1 = spark.createDataFrame(pa.Table.from_batches([synth_batch(21, 600)]))
+        df1.write.format("aisle").mode("append").save(out)
+
+        def run_once():
+            q = (
+                spark.readStream.format("aisle")
+                .load(out)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        n1 = spark.read.parquet(sink).count()
+        assert n1 == df1.count()
+
+        df2 = df1.withColumn("doc_id", F.concat(F.lit("x-"), F.col("doc_id")))
+        df2.write.format("aisle").mode("append").save(out)
+        run_once()
+        got = spark.read.parquet(sink)
+        assert got.count() == df1.count() * 2
+        assert got.filter(F.col("doc_id").startswith("x-")).count() == df1.count()
+
+    def test_stream_with_where_and_columns(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "st2")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(22, 800)]))
+        df.write.format("aisle").option("sortCols", "source").mode("append").save(out)
+        sink = str(tmp_path / "sink2")
+        q = (
+            spark.readStream.format("aisle")
+            .option("where", "source = 'web' AND n_tok > 40")
+            .option("columns", "doc_id,n_tok,source")
+            .load(out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink)
+        assert got.columns == ["doc_id", "n_tok", "source"]
+        e = sorted(
+            r.doc_id for r in df.filter("source = 'web' AND n_tok > 40").collect()
+        )
+        assert sorted(r.doc_id for r in got.collect()) == e and e
