@@ -156,23 +156,44 @@ class AislePartition(InputPartition):
     rows: tuple | None  # surviving manifest row numbers; None = all
 
 
-def _committed_files(path: str) -> list[str]:
-    manifest = os.path.join(path, _FILES_MANIFEST)
-    if os.path.exists(manifest):
-        with open(manifest) as fh:
-            return [os.path.join(path, f) for f in json.load(fh)["files"]]
-    import glob
+def _fs_of(path: str):
+    """URI paths route every filesystem operation through pyarrow.fs —
+    the object-store mode of the direct-write encode, extended to this
+    surface. Plain paths stay on the local os/open fast path. Returns
+    (fs | None, fs-local path)."""
+    if "://" in path:
+        from pyarrow import fs as pafs
 
-    return sorted(
-        f
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-        if not os.path.basename(f).startswith(("_", "."))
-    )
+        return pafs.FileSystem.from_uri(path)
+    return None, path
 
 
-def _read_sidecar_schema(path: str) -> pa.Schema:
-    with open(os.path.join(path, _SCHEMA_SIDECAR), "rb") as fh:
-        return pa.ipc.read_schema(pa.py_buffer(fh.read()))
+def _exists(fs, path: str) -> bool:
+    if fs is None:
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def _committed_files(fs, path: str) -> list[str]:
+    from aisle_spark.pipeline import _fs_list, _fs_read_json
+
+    manifest = f"{path.rstrip('/')}/{_FILES_MANIFEST}"
+    if _exists(fs, manifest):
+        return [
+            f"{path.rstrip('/')}/{f}" for f in _fs_read_json(fs, manifest)["files"]
+        ]
+    return [p for p, _size in _fs_list(fs, path, ".parquet")]
+
+
+def _read_sidecar_schema(fs, path: str) -> pa.Schema:
+    target = f"{path.rstrip('/')}/{_SCHEMA_SIDECAR}"
+    if fs is None:
+        with open(target, "rb") as fh:
+            return pa.ipc.read_schema(pa.py_buffer(fh.read()))
+    with fs.open_input_stream(target) as inp:
+        return pa.ipc.read_schema(pa.py_buffer(inp.read()))
 
 
 def _validate_exact_where(spec: Spec, arrow_schema: pa.Schema) -> None:
@@ -227,8 +248,8 @@ def _project_schema(arrow: pa.Schema, columns: list[str] | None) -> pa.Schema:
 class AisleReader(DataSourceReader):
     def __init__(self, path: str, where: str | None = None,
                  columns: list[str] | None = None):
-        self.path = path
-        self.arrow_schema = _read_sidecar_schema(path)
+        self.fs, self.path = _fs_of(path)
+        self.arrow_schema = _read_sidecar_schema(self.fs, self.path)
         self.out_schema = _project_schema(self.arrow_schema, columns)
         self.spec: Spec | None = None
         self.exact_where: Spec | None = None
@@ -254,7 +275,7 @@ class AisleReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[AislePartition]:
-        files = _committed_files(self.path)
+        files = _committed_files(self.fs, self.path)
         prune = self._prune_spec()
         if prune is None or not files:
             return [AislePartition(f, None) for f in files]
@@ -265,12 +286,50 @@ class AisleReader(DataSourceReader):
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
         sql = keep_sql(prune)
-        listed = "[" + ", ".join("'" + f.replace("'", "''") + "'" for f in files) + "]"
-        survivors = con.execute(
-            f"SELECT filename, file_row_number FROM read_parquet({listed}, "
-            f"filename=true, file_row_number=true) WHERE {sql} "
-            f"ORDER BY filename, file_row_number"
-        ).fetchall()
+        if self.fs is None:
+            listed = (
+                "[" + ", ".join("'" + f.replace("'", "''") + "'" for f in files) + "]"
+            )
+            survivors = con.execute(
+                f"SELECT filename, file_row_number FROM read_parquet({listed}, "
+                f"filename=true, file_row_number=true) WHERE {sql} "
+                f"ORDER BY filename, file_row_number"
+            ).fetchall()
+        else:
+            # object-store planning: pull ONLY the manifest stat columns
+            # through pyarrow (payload/chunk arrays never transfer), then
+            # run the same evidence SQL over the in-memory Arrow table
+            import pyarrow.parquet as pq
+
+            manifest_tbl = None
+            parts = []
+            stat_cols = None
+            for f in files:
+                with self.fs.open_input_file(f) as src:
+                    pf = pq.ParquetFile(src)
+                    if stat_cols is None:
+                        stat_cols = [
+                            n
+                            for n in pf.schema_arrow.names
+                            if not n.endswith(
+                                ("__payload", "__chunk_min", "__chunk_max",
+                                 "__chunk_nulls")
+                            )
+                        ]
+                    t = pf.read(columns=stat_cols)
+                t = t.append_column(
+                    "filename", pa.array([f] * t.num_rows, type=pa.string())
+                )
+                t = t.append_column(
+                    "file_row_number",
+                    pa.array(range(t.num_rows), type=pa.int64()),
+                )
+                parts.append(t)
+            manifest_tbl = pa.concat_tables(parts)  # noqa: F841 (duckdb scan)
+            survivors = con.execute(
+                f"SELECT filename, file_row_number FROM manifest_tbl WHERE {sql} "
+                f"ORDER BY filename, file_row_number"
+            ).fetchall()
         by_file: dict[str, list[int]] = {}
         for fname, rowno in survivors:
             by_file.setdefault(fname, []).append(int(rowno))
@@ -286,6 +345,7 @@ class AisleReader(DataSourceReader):
             partition.rows,
             self._prune_spec(),
             self.exact_where,
+            fs=self.fs,
         )
 
 
@@ -296,6 +356,7 @@ def _decode_file(
     rows: tuple | None,
     prune: Spec | None,
     exact_where: Spec | None,
+    fs=None,
 ) -> Iterator[pa.RecordBatch]:
     """Decode one committed block file (optionally only the ``rows``
     manifest rows) into Arrow batches of ``out_schema`` — the shared read
@@ -344,12 +405,14 @@ def _decode_file(
                     f"{c}__chunk_min", f"{c}__chunk_max", f"{c}__chunk_nulls",
                 ]
     if rows is None:
-        tbl = pq.read_table(path, columns=payload_cols)
+        src = fs.open_input_file(path) if fs is not None else path
+        tbl = pq.read_table(src, columns=payload_cols)
     else:
         # row-group-granular I/O: both writers emit one row group per
         # ~64 blocks, so the payload bytes of pruned blocks in other
         # row groups are never read at all
-        pf = pq.ParquetFile(path)
+        src = fs.open_input_file(path) if fs is not None else path
+        pf = pq.ParquetFile(src)
         bounds = [0]
         for g in range(pf.num_row_groups):
             bounds.append(bounds[-1] + pf.metadata.row_group(g).num_rows)
@@ -414,8 +477,8 @@ class AisleStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str, where: str | None = None,
                  columns: list[str] | None = None):
-        self.path = path
-        self.arrow_schema = _read_sidecar_schema(path)
+        self.fs, self.path = _fs_of(path)
+        self.arrow_schema = _read_sidecar_schema(self.fs, self.path)
         self.out_schema = _project_schema(self.arrow_schema, columns)
         self.exact_where: Spec | None = None
         if where:
@@ -429,12 +492,17 @@ class AisleStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         return {
-            "seen": {os.path.basename(f): True for f in _committed_files(self.path)}
+            "seen": {
+                f.rsplit("/", 1)[-1]: True
+                for f in _committed_files(self.fs, self.path)
+            }
         }
 
     def partitions(self, start: dict, end: dict) -> Sequence[AislePartition]:
         new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
-        return [AislePartition(os.path.join(self.path, f), None) for f in new]
+        return [
+            AislePartition(f"{self.path.rstrip('/')}/{f}", None) for f in new
+        ]
 
     def read(self, partition: AislePartition) -> Iterator[pa.RecordBatch]:
         if partition is None:
@@ -446,6 +514,7 @@ class AisleStreamReader(DataSourceStreamReader):
             None,
             self.exact_where,
             self.exact_where,
+            fs=self.fs,
         )
 
     def commit(self, end: dict) -> None:
@@ -469,7 +538,7 @@ class AisleCommit(WriterCommitMessage):
 class AisleWriter(DataSourceArrowWriter):
     def __init__(self, path: str, spark_schema: StructType, overwrite: bool,
                  sort_cols: list[str], block_rows: int):
-        self.path = path
+        self.fs, self.path = _fs_of(path)
         self.spark_schema = spark_schema
         self.overwrite = overwrite
         self.sort_cols = sort_cols
@@ -500,8 +569,10 @@ class AisleWriter(DataSourceArrowWriter):
         out_schema = blocks_arrow_schema(specs)
         sort_keys = [(c, "ascending") for c in self.sort_cols]
         name = f"part-{uuid.uuid4().hex}.parquet"
-        target = os.path.join(self.path, name)
-        os.makedirs(self.path, exist_ok=True)
+        target = f"{self.path.rstrip('/')}/{name}"
+        from aisle_spark.pipeline import _fs_mkdirs
+
+        _fs_mkdirs(self.fs, self.path)
         task_salt = uuid.uuid4().int & 0x7FFF_FFFF
         writer = None
         n_blocks = 0
@@ -517,7 +588,9 @@ class AisleWriter(DataSourceArrowWriter):
                 chunk = pa.Table.from_pylist(rows, schema=out_schema)
                 rows = []
                 if writer is None:
-                    writer = pq.ParquetWriter(target, out_schema, compression="zstd")
+                    writer = pq.ParquetWriter(
+                        target, out_schema, compression="zstd", filesystem=self.fs
+                    )
                 writer.write_table(chunk)
 
         def _encode_slab() -> None:
@@ -543,33 +616,42 @@ class AisleWriter(DataSourceArrowWriter):
             _encode_slab()
             _flush_rows(force=True)
             if writer is None:  # empty task still commits an empty file
-                writer = pq.ParquetWriter(target, out_schema, compression="zstd")
+                writer = pq.ParquetWriter(
+                    target, out_schema, compression="zstd", filesystem=self.fs
+                )
         finally:
             if writer is not None:
                 writer.close()
         return AisleCommit(filename=name, n_blocks=n_blocks)
 
     def commit(self, messages: list[AisleCommit]) -> None:
-        from aisle_spark.pipeline import _write_schema_sidecar
+        from aisle_spark.pipeline import (
+            _fs_read_json,
+            _fs_write_json,
+            _write_schema_sidecar,
+        )
 
         files = sorted(m.filename for m in messages if m is not None and m.n_blocks > 0)
-        manifest = os.path.join(self.path, _FILES_MANIFEST)
-        if not self.overwrite and os.path.exists(manifest):
-            with open(manifest) as fh:
-                files = sorted(set(json.load(fh)["files"]) | set(files))
-        tmp = manifest + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump({"files": files}, fh)
-        os.replace(tmp, manifest)
-        _write_schema_sidecar(self.path, self._arrow_schema())
+        manifest = f"{self.path.rstrip('/')}/{_FILES_MANIFEST}"
+        if not self.overwrite and _exists(self.fs, manifest):
+            files = sorted(set(_fs_read_json(self.fs, manifest)["files"]) | set(files))
+        # local: tmp + atomic rename; object store: one atomic PUT — the
+        # same commit discipline as the direct-write encode
+        _fs_write_json(self.fs, manifest, {"files": files})
+        _write_schema_sidecar(self.path, self._arrow_schema(), fs=self.fs)
 
     def abort(self, messages: list[AisleCommit]) -> None:
         for m in messages:
-            if m is not None:
-                try:
-                    os.remove(os.path.join(self.path, m.filename))
-                except OSError:
-                    pass
+            if m is None:
+                continue
+            target = f"{self.path.rstrip('/')}/{m.filename}"
+            try:
+                if self.fs is None:
+                    os.remove(target)
+                else:
+                    self.fs.delete_file(target)
+            except OSError:
+                pass
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +699,8 @@ class AisleDataSource(DataSource):
 
         from aisle_spark.schema import _spark_type
 
-        arrow = _project_schema(_read_sidecar_schema(self._path()), self._columns())
+        fs, root = _fs_of(self._path())
+        arrow = _project_schema(_read_sidecar_schema(fs, root), self._columns())
         return T.StructType(
             [T.StructField(f.name, _spark_type(f.type), True) for f in arrow]
         )
