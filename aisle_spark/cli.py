@@ -1,5 +1,8 @@
 """spark-submit entrypoints (ship the package with --py-files).
 
+  spark-submit … compact --table /data/encoded --target-mb 256 \
+      --order-by source --vacuum
+
 Usage (north rule: "runs via spark-submit --py-files"):
 
   # build the zip once
@@ -126,6 +129,34 @@ def cmd_scan(args) -> None:
     spark.stop()
 
 
+def cmd_compact(args) -> None:
+    from aisle_spark.maintenance import compact_encoded, vacuum_encoded
+
+    spark = _session("aisle-compact")
+    summary = compact_encoded(
+        spark,
+        args.table,
+        target_files=args.target_files,
+        target_mb=args.target_mb,
+        order_by=args.order_by,
+    )
+    print(summary)
+    if args.vacuum and not summary.get("skipped"):
+        removed = vacuum_encoded(args.table)
+        print(f"vacuumed {len(removed)} files")
+    spark.stop()
+
+
+def cmd_vacuum(args) -> None:
+    from aisle_spark.maintenance import vacuum_encoded
+
+    removed = vacuum_encoded(args.table, dry_run=args.dry_run)
+    verb = "would delete" if args.dry_run else "deleted"
+    print(f"{verb} {len(removed)} files")
+    for f in removed:
+        print(" ", f)
+
+
 def cmd_package(args) -> None:
     import os
     import zipfile
@@ -186,6 +217,21 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--mode", default="overwrite")
     s.add_argument("--limit", type=int, default=20)
     s.set_defaults(fn=cmd_scan)
+
+    c = sub.add_parser("compact", help="merge small committed files (OPTIMIZE)")
+    c.add_argument("--table", required=True)
+    c.add_argument("--target-files", type=int, default=None)
+    c.add_argument("--target-mb", type=int, default=256)
+    c.add_argument("--order-by", default=None,
+                   help="cluster output files by this column's block minima")
+    c.add_argument("--vacuum", action="store_true",
+                   help="delete the replaced files after the commit")
+    c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("vacuum", help="delete unreferenced data files")
+    v.add_argument("--table", required=True)
+    v.add_argument("--dry-run", action="store_true")
+    v.set_defaults(fn=cmd_vacuum)
 
     z = sub.add_parser("package", help="zip the package for --py-files")
     z.add_argument("--out", default="aisle_spark.zip")

@@ -491,9 +491,10 @@ class AisleStreamReader(DataSourceStreamReader):
         return {"seen": {}}
 
     def latestOffset(self) -> dict:
+        root = self.path.rstrip("/") + "/"
         return {
             "seen": {
-                f.rsplit("/", 1)[-1]: True
+                (f[len(root):] if f.startswith(root) else f): True
                 for f in _committed_files(self.fs, self.path)
             }
         }

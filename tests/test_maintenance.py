@@ -1,0 +1,115 @@
+"""Compaction + vacuum: many small committed files -> few large ones,
+atomically, without decoding payloads; unreferenced files deleted."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from aisle_spark.datasource import register
+from aisle_spark.maintenance import compact_encoded, vacuum_encoded
+from aisle_spark.schema import synth_batch
+
+
+@pytest.fixture()
+def small_files_table(spark, tmp_path):
+    """Five separate appends -> >=5 committed files."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(pa.Table.from_batches([synth_batch(41, 1500)]))
+    for i in range(5):
+        part = df.filter(F.crc32(F.col("doc_id")) % 5 == i).repartition(1)
+        part.write.format("aisle").option("sortCols", "source").option(
+            "blockRows", "64"
+        ).mode("append").save(out)
+    return df, out
+
+
+def _manifest(out):
+    with open(os.path.join(out, "_aisle_files.json")) as fh:
+        return json.load(fh)
+
+
+class TestCompact:
+    def test_compact_preserves_rows_and_prunes_files(self, spark, small_files_table):
+        df, out = small_files_table
+        before = _manifest(out)["files"]
+        assert len(before) >= 5
+        summary = compact_encoded(spark, out, target_files=2)
+        assert summary["files_before"] == len(before)
+        after = _manifest(out)["files"]
+        assert len(after) == 2 and all(f.startswith("compact-") for f in after)
+        got = spark.read.format("aisle").load(out)
+        assert got.count() == df.count()
+        g = sorted(r.doc_id for r in got.collect())
+        e = sorted(r.doc_id for r in df.collect())
+        assert g == e
+
+    def test_compact_then_filtered_scan_exact(self, spark, small_files_table):
+        from pyspark.sql import functions as F
+
+        df, out = small_files_table
+        compact_encoded(spark, out, target_files=3, order_by="source")
+        got = (
+            spark.read.format("aisle").load(out).filter(F.col("source") == "books")
+        )
+        assert got.count() == df.filter("source = 'books'").count() > 0
+
+    def test_order_by_concentrates_ranges(self, spark, small_files_table):
+        """Range partitioning on source__min: a source-equality scan must
+        plan fewer files than exist."""
+        from aisle_spark.datasource import AisleReader
+        from pyspark.sql.datasource import EqualTo
+
+        _df, out = small_files_table
+        compact_encoded(spark, out, target_files=3, order_by="source")
+        r = AisleReader(out)
+        r.pushFilters([EqualTo(("source",), "web")])
+        touched = {p.path for p in r.partitions()}
+        assert 0 < len(touched) < 3
+
+    def test_library_read_encoded_still_works(self, spark, small_files_table):
+        from aisle_spark.pipeline import read_encoded, scan
+
+        df, out = small_files_table
+        compact_encoded(spark, out, target_files=2)
+        blocks, schema = read_encoded(spark, out)
+        got = scan(blocks, schema, where="n_tok > 50", columns=["doc_id"])
+        assert got.count() == df.filter("n_tok > 50").count()
+
+
+class TestVacuum:
+    def test_vacuum_removes_only_unreferenced(self, spark, small_files_table):
+        df, out = small_files_table
+        old_files = _manifest(out)["files"]
+        compact_encoded(spark, out, target_files=2)
+        victims = vacuum_encoded(out, dry_run=True)
+        assert set(victims) == set(old_files)
+        removed = vacuum_encoded(out)
+        assert set(removed) == set(old_files)
+        for f in old_files:
+            assert not os.path.exists(os.path.join(out, f))
+        got = spark.read.format("aisle").load(out)
+        assert got.count() == df.count()
+
+    def test_vacuum_noop_on_clean_table(self, spark, small_files_table):
+        _df, out = small_files_table
+        assert vacuum_encoded(out, dry_run=True) == []
+
+
+def test_compact_file_uri(spark, tmp_path):
+    register(spark)
+    out = "file://" + str(tmp_path / "u")
+    df = spark.createDataFrame(pa.Table.from_batches([synth_batch(42, 800)]))
+    for _ in range(3):
+        df.limit(200).write.format("aisle").mode("append").save(out)
+    summary = compact_encoded(spark, out, target_files=1)
+    assert summary["files_after"] == 1
+    assert spark.read.format("aisle").load(out).count() == 600
+    vacuum_encoded(out)
+    assert spark.read.format("aisle").load(out).count() == 600
