@@ -121,6 +121,10 @@ def cmd_scan(args) -> None:
 
             where = parse_where(args.where)
     columns = args.columns.split(",") if args.columns else None
+    if args.report and where is not None:
+        from aisle_spark.pipeline import prune_report
+
+        print(prune_report(blocks, where))
     out = scan(blocks, schema, where=where, columns=columns)
     if args.output:
         out.write.mode(args.mode).parquet(args.output)
@@ -216,6 +220,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--output", default=None)
     s.add_argument("--mode", default="overwrite")
     s.add_argument("--limit", type=int, default=20)
+    s.add_argument(
+        "--report",
+        action="store_true",
+        help="print per-conjunct block-pruning diagnosis before scanning",
+    )
     s.set_defaults(fn=cmd_scan)
 
     c = sub.add_parser("compact", help="merge small committed files (OPTIMIZE)")

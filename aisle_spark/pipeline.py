@@ -949,6 +949,55 @@ def scan(
     return decoded.select(*out_cols)
 
 
+def prune_report(blocks: DataFrame, where: Spec | str) -> dict:
+    """Pruning diagnosis in ONE Spark job: how many blocks (and rows)
+    survive the full evidence predicate, and how many each TOP-LEVEL
+    conjunct keeps alone — the tuning loop for sort layout and evidence
+    choice (the observability face of the reference's prune loop; its
+    Display impls serve the same audience, /root/reference/src lib
+    Display). A conjunct keeping ~100% of blocks is evidence the layout
+    does not cluster that column; re-encode with it in ``sort_cols`` or
+    compact with ``order_by``."""
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    from aisle_spark.filterspec import And as _And
+
+    conjuncts = list(where.parts) if isinstance(where, _And) else [where]
+    aggs = [
+        F.count(F.lit(1)).alias("blocks_total"),
+        F.sum(F.col("n_rows").cast("long")).alias("rows_total"),
+        F.sum(F.when(where.keep_blocks(), 1).otherwise(0)).alias("kept_full"),
+        F.sum(
+            F.when(where.keep_blocks(), F.col("n_rows").cast("long")).otherwise(0)
+        ).alias("rows_kept_full"),
+    ]
+    for i, c in enumerate(conjuncts):
+        aggs.append(
+            F.sum(F.when(c.keep(), 1).otherwise(0)).alias(f"kept_{i}")
+        )
+    row = blocks.agg(*aggs).collect()[0]
+    total = row["blocks_total"]
+    return {
+        "blocks_total": total,
+        "rows_total": row["rows_total"],
+        "kept_full": row["kept_full"],
+        "rows_kept_full": row["rows_kept_full"],
+        "skip_ratio": round(1 - row["kept_full"] / total, 4) if total else 0.0,
+        "per_conjunct": [
+            {
+                "sql": c.to_sql(),
+                "kept": row[f"kept_{i}"],
+                "kept_pct": round(100.0 * row[f"kept_{i}"] / total, 1)
+                if total
+                else 0.0,
+            }
+            for i, c in enumerate(conjuncts)
+        ],
+    }
+
+
 # ---------------------------------------------------------------------------
 # storage: the encoded table on disk (parquet blocks + sidecar schema)
 # ---------------------------------------------------------------------------

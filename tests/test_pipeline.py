@@ -266,3 +266,29 @@ class TestKeepEqualsTri:
                     for r in frame.filter(~spec.tri().f).select("block_id").collect()
                 )
                 assert a == b, f"keep() != ~tri().f for {spec!r}: {a} vs {b}"
+
+
+class TestPruneReport:
+    def test_report_counts_match_filter(self, spark):
+        import pyarrow as pa
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import encode_table, prune_report
+        from aisle_spark.schema import synth_batch
+
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(61, 2000)]))
+        blocks = encode_table(
+            df, parts=4, block_rows=128, sort_cols=["source", "n_tok"]
+        ).cache()
+        total = blocks.count()
+        spec = (col("source") == "web") & (col("n_tok") > 100)
+        rep = prune_report(blocks, spec)
+        assert rep["blocks_total"] == total
+        assert rep["kept_full"] == blocks.filter(spec.keep_blocks()).count()
+        assert len(rep["per_conjunct"]) == 2
+        assert rep["per_conjunct"][0]["sql"] == "source = 'web'"
+        assert 0 < rep["kept_full"] <= min(c["kept"] for c in rep["per_conjunct"])
+        assert 0 < rep["skip_ratio"] < 1
+        rep2 = prune_report(blocks, "source = 'web' AND n_tok > 100")
+        assert rep2["kept_full"] == rep["kept_full"]
+        blocks.unpersist()
