@@ -159,8 +159,12 @@ class AislePartition(InputPartition):
 def _fs_of(path: str):
     """URI paths route every filesystem operation through pyarrow.fs —
     the object-store mode of the direct-write encode, extended to this
-    surface. Plain paths stay on the local os/open fast path. Returns
-    (fs | None, fs-local path)."""
+    surface. Plain paths (and file: URIs, which Spark DDL normalizes to
+    the single-slash ``file:/x`` form) stay on the local os/open fast
+    path. Returns (fs | None, fs-local path)."""
+    if path.startswith("file:/") and not path.startswith("file://"):
+        # Spark DDL/catalog normalization: file:/x == local /x
+        return None, path[len("file:"):]
     if "://" in path:
         from pyarrow import fs as pafs
 
@@ -663,7 +667,12 @@ class AisleWriter(DataSourceArrowWriter):
 class AisleDataSource(DataSource):
     """``format("aisle")``. Options:
 
-    * ``path`` — encoded table directory (required).
+    * ``path`` — encoded table directory (required). Plain local paths,
+      the ``file:/x`` form Spark catalogs produce, and pyarrow.fs URIs
+      all work. SQL access: register a temp view over the loaded frame
+      (``CREATE TABLE … USING aisle`` parses, but this Spark build does
+      not propagate catalog-table options into Python DataSource
+      readers).
     * ``where`` — read path: a SQL predicate compiled by
       ``sqlcompile.parse_where`` and applied EXACTLY inside the reader
       (pruning + row mask); restricted to scalar top-level columns.
@@ -723,6 +732,27 @@ class AisleDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> AisleWriter:
         from aisle_spark.pipeline import DEFAULT_BLOCK_ROWS
 
+        if not overwrite:
+            # append must match the committed schema exactly — a silent
+            # manifest merge of differently-shaped block files would
+            # corrupt every reader
+            fs, root = _fs_of(self._path())
+            if _exists(fs, f"{root.rstrip('/')}/{_SCHEMA_SIDECAR}"):
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                existing = _read_sidecar_schema(fs, root)
+                incoming = to_arrow_schema(schema)
+                same = len(existing) == len(incoming) and all(
+                    existing.field(i).name == incoming.field(i).name
+                    and existing.field(i).type.equals(incoming.field(i).type)
+                    for i in range(len(existing))
+                )
+                if not same:
+                    raise ValueError(
+                        f"append schema {incoming} does not match the "
+                        f"committed table schema {existing}; use "
+                        "mode('overwrite') to replace the table"
+                    )
         sort_cols = [
             c.strip() for c in self.options.get("sortcols", "").split(",") if c.strip()
         ]

@@ -50,7 +50,7 @@ def compact_encoded(
     path: str,
     target_files: int | None = None,
     target_mb: int = 256,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
 ) -> dict:
     """Rewrite the committed block files into ``target_files`` larger ones
     (default: total committed bytes / ``target_mb``). Returns a summary
@@ -71,10 +71,19 @@ def compact_encoded(
 
     subdir = f"compact-{uuid.uuid4().hex[:12]}"
     blocks = spark.read.parquet(*[f"{spark_root}/{f}" for f in files])
-    if order_by is not None:
-        # range-partition on the block's min stat: each output file covers
-        # a narrow value range => tighter planning-time file pruning
-        blocks = blocks.repartitionByRange(n_out, F.col(f"`{order_by}__min`"))
+    if order_by:
+        # range-partition on the blocks' min stats (lexicographic across
+        # the given columns): each output file covers a narrow value
+        # range => tighter planning-time file pruning. Multi-column is
+        # the hierarchical-clustering analog of sortCols at encode time.
+        cols = (
+            [c.strip() for c in order_by.split(",") if c.strip()]
+            if isinstance(order_by, str)
+            else list(order_by)
+        )
+        blocks = blocks.repartitionByRange(
+            n_out, *[F.col(f"`{c}__min`") for c in cols]
+        )
     else:
         blocks = blocks.repartition(n_out)
     blocks.write.mode("errorifexists").parquet(f"{spark_root}/{subdir}")

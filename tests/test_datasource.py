@@ -460,3 +460,38 @@ class TestFilesystemRouting:
             for b in r.read(p):
                 rows.extend(b.column(0).to_pylist())
         assert rows
+
+
+class TestHardening:
+    def test_sql_over_loaded_view(self, spark, encoded_dir):
+        """The SQL face: a temp view over the loaded source, with pushdown
+        intact. (CREATE TABLE ... USING aisle parses, but this Spark build
+        does not propagate catalog-table options to Python DataSource
+        readers — the view route is the supported SQL surface.)"""
+        df, out = encoded_dir
+        spark.read.format("aisle").load(out).createOrReplaceTempView("aisle_v")
+        n = spark.sql(
+            "SELECT count(*) AS n FROM aisle_v WHERE source = 'web'"
+        ).collect()[0].n
+        assert n == df.filter("source = 'web'").count() > 0
+
+    def test_append_schema_mismatch_rejected(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "g")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(72, 300)]))
+        df.write.format("aisle").mode("append").save(out)
+        bad = df.withColumnRenamed("n_tok", "ntok2")
+        with pytest.raises(Exception, match="does not match the"):
+            bad.write.format("aisle").mode("append").save(out)
+        # overwrite with the new schema is allowed
+        bad.write.format("aisle").mode("overwrite").save(out)
+        assert "ntok2" in spark.read.format("aisle").load(out).columns
+
+    def test_empty_dataframe_write_and_read(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "e")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(73, 50)]))
+        df.filter("n_tok < 0").write.format("aisle").mode("append").save(out)
+        got = spark.read.format("aisle").load(out)
+        assert got.count() == 0
+        assert sorted(got.columns) == sorted(df.columns)

@@ -113,3 +113,11 @@ def test_compact_file_uri(spark, tmp_path):
     assert spark.read.format("aisle").load(out).count() == 600
     vacuum_encoded(out)
     assert spark.read.format("aisle").load(out).count() == 600
+
+
+def test_compact_multi_column_order(spark, small_files_table):
+    df, out = small_files_table
+    summary = compact_encoded(spark, out, target_files=2, order_by="source,n_tok")
+    assert summary["files_after"] <= 2
+    got = spark.read.format("aisle").load(out)
+    assert got.count() == df.count()
