@@ -73,6 +73,7 @@ from pyspark.sql.types import StructType
 
 from aisle_spark.filterspec import (
     And,
+    Between,
     Cmp,
     InList,
     IsNull,
@@ -180,15 +181,24 @@ def _exists(fs, path: str) -> bool:
     return fs.get_file_info(path).type != pafs.FileType.NotFound
 
 
-def _committed_files(fs, path: str) -> list[str]:
+def _manifest_of(fs, path: str) -> tuple[list[str], dict]:
+    """(full file paths, per-file stats keyed by full path)."""
     from aisle_spark.pipeline import _fs_list, _fs_read_json
 
-    manifest = f"{path.rstrip('/')}/{_FILES_MANIFEST}"
+    root = path.rstrip("/")
+    manifest = f"{root}/{_FILES_MANIFEST}"
     if _exists(fs, manifest):
-        return [
-            f"{path.rstrip('/')}/{f}" for f in _fs_read_json(fs, manifest)["files"]
-        ]
-    return [p for p, _size in _fs_list(fs, path, ".parquet")]
+        m = _fs_read_json(fs, manifest)
+        stats = m.get("file_stats", {})
+        return (
+            [f"{root}/{f}" for f in m["files"]],
+            {f"{root}/{k}": v for k, v in stats.items()},
+        )
+    return [p for p, _size in _fs_list(fs, path, ".parquet")], {}
+
+
+def _committed_files(fs, path: str) -> list[str]:
+    return _manifest_of(fs, path)[0]
 
 
 def _read_sidecar_schema(fs, path: str) -> pa.Schema:
@@ -279,10 +289,15 @@ class AisleReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[AislePartition]:
-        files = _committed_files(self.fs, self.path)
+        files, fstats = _manifest_of(self.fs, self.path)
         prune = self._prune_spec()
         if prune is None or not files:
             return [AislePartition(f, None) for f in files]
+        # manifest-list level: whole files drop on their [min,max] bounds
+        # before a single manifest row is scanned
+        files = [f for f in files if file_keep(fstats.get(f), prune)]
+        if not files:
+            return []
         import duckdb
 
         from aisle_spark.prune_sql import keep_sql
@@ -505,9 +520,17 @@ class AisleStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[AislePartition]:
         new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
-        return [
+        parts = [
             AislePartition(f"{self.path.rstrip('/')}/{f}", None) for f in new
         ]
+        if self.exact_where is not None and parts:
+            # manifest-list pruning per micro-batch: whole new files drop
+            # on their [min,max] bounds when the where option excludes them
+            _files, fstats = _manifest_of(self.fs, self.path)
+            parts = [
+                p for p in parts if file_keep(fstats.get(p.path), self.exact_where)
+            ]
+        return parts
 
     def read(self, partition: AislePartition) -> Iterator[pa.RecordBatch]:
         if partition is None:
@@ -538,6 +561,94 @@ class AisleStreamReader(DataSourceStreamReader):
 class AisleCommit(WriterCommitMessage):
     filename: str
     n_blocks: int
+    stats: dict | None = None  # per-column [min, max] over the whole file
+
+
+# file-level stats cover the JSON-representable scalar kinds; every other
+# kind simply has no file-level evidence (Unknown => file kept)
+_FILE_STAT_KINDS = ("int", "float", "string")
+
+
+def _merge_file_stat(acc: dict, row: dict, cols: list[str]) -> None:
+    for c in cols:
+        mn, mx = row.get(f"{c}__min"), row.get(f"{c}__max")
+        mn = mn.item() if hasattr(mn, "item") else mn  # numpy -> JSON-safe
+        mx = mx.item() if hasattr(mx, "item") else mx
+        cur = acc.get(c)
+        if cur is None:
+            acc[c] = [mn, mx]
+            continue
+        # a None bound (all-null block / truncation overflow) poisons the
+        # file bound to None = Unknown on that side
+        acc[c] = [
+            None if (cur[0] is None or mn is None) else min(cur[0], mn),
+            None if (cur[1] is None or mx is None) else max(cur[1], mx),
+        ]
+
+
+def file_keep(stats: dict | None, spec: Spec) -> bool:
+    """File-level keep from per-file [min, max] bounds — the manifest-list
+    level of the two-tier pruning (block rows are the manifest-file
+    level). DELIBERATELY tiny: only top-level AND of Cmp/Between/InList/
+    StartsWith conjuncts ever prunes; every other shape, any missing
+    bound, and any type surprise returns keep. Differentially tested
+    against block-level survival (a file is kept whenever ANY of its
+    blocks could be)."""
+    if not stats:
+        return True
+
+    def rng(c):
+        v = stats.get(c)
+        if not (isinstance(v, (list, tuple)) and len(v) == 2):
+            return None, None
+        import math
+
+        # NaN bounds (Spark orders NaN greatest) don't compare usefully in
+        # Python — degrade to Unknown on that side, always sound
+        return tuple(
+            None if isinstance(b, float) and math.isnan(b) else b for b in v
+        )
+
+    def conj_keep(node: Spec) -> bool:
+        try:
+            if isinstance(node, Between):
+                return conj_keep(Cmp(node.col, "ge", node.low)) and conj_keep(
+                    Cmp(node.col, "le", node.high)
+                )
+            if isinstance(node, InList):
+                return any(conj_keep(Cmp(node.col, "eq", v)) for v in node.values)
+            if isinstance(node, StartsWith):
+                from aisle_spark.filterspec import next_prefix
+
+                mn, mx = rng(node.col)
+                if node.prefix == "":
+                    return True
+                if mx is not None and mx < node.prefix:
+                    return False
+                np_ = next_prefix(node.prefix)
+                if np_ is not None and mn is not None and mn >= np_:
+                    return False
+                return True
+            if not isinstance(node, Cmp):
+                return True
+            mn, mx = rng(node.col)
+            v = node.value
+            if node.op == "eq":
+                return (mn is None or mn <= v) and (mx is None or mx >= v)
+            if node.op == "lt":
+                return mn is None or mn < v
+            if node.op == "le":
+                return mn is None or mn <= v
+            if node.op == "gt":
+                return mx is None or mx > v
+            if node.op == "ge":
+                return mx is None or mx >= v
+            return True  # ne: file-level bounds cannot exclude (nulls unknown)
+        except TypeError:
+            return True  # cross-domain comparison: no evidence
+
+    conjuncts = spec.parts if isinstance(spec, And) else [spec]
+    return all(conj_keep(c) for c in conjuncts)
 
 
 class AisleWriter(DataSourceArrowWriter):
@@ -571,6 +682,8 @@ class AisleWriter(DataSourceArrowWriter):
 
         _pin_worker_threads()
         specs = specs_for_schema(self._arrow_schema())
+        fstat_cols = [s.name for s in specs if s.kind in _FILE_STAT_KINDS]
+        fstats: dict = {}
         out_schema = blocks_arrow_schema(specs)
         sort_keys = [(c, "ascending") for c in self.sort_cols]
         name = f"part-{uuid.uuid4().hex}.parquet"
@@ -608,7 +721,9 @@ class AisleWriter(DataSourceArrowWriter):
                 tbl, specs, sort_keys, self.block_rows, DEFAULT_MAX_VALUES
             ):
                 block_id = (task_salt << 24) | n_blocks
-                rows.append(encode_block(specs, block, 0, block_id))
+                row = encode_block(specs, block, 0, block_id)
+                _merge_file_stat(fstats, row, fstat_cols)
+                rows.append(row)
                 n_blocks += 1
                 _flush_rows(force=False)
 
@@ -627,7 +742,7 @@ class AisleWriter(DataSourceArrowWriter):
         finally:
             if writer is not None:
                 writer.close()
-        return AisleCommit(filename=name, n_blocks=n_blocks)
+        return AisleCommit(filename=name, n_blocks=n_blocks, stats=fstats)
 
     def commit(self, messages: list[AisleCommit]) -> None:
         from aisle_spark.pipeline import (
@@ -636,13 +751,19 @@ class AisleWriter(DataSourceArrowWriter):
             _write_schema_sidecar,
         )
 
-        files = sorted(m.filename for m in messages if m is not None and m.n_blocks > 0)
+        live = [m for m in messages if m is not None and m.n_blocks > 0]
+        files = sorted(m.filename for m in live)
+        fstats = {m.filename: m.stats for m in live if m.stats}
         manifest = f"{self.path.rstrip('/')}/{_FILES_MANIFEST}"
         if not self.overwrite and _exists(self.fs, manifest):
-            files = sorted(set(_fs_read_json(self.fs, manifest)["files"]) | set(files))
+            old = _fs_read_json(self.fs, manifest)
+            files = sorted(set(old["files"]) | set(files))
+            fstats = {**old.get("file_stats", {}), **fstats}
         # local: tmp + atomic rename; object store: one atomic PUT — the
         # same commit discipline as the direct-write encode
-        _fs_write_json(self.fs, manifest, {"files": files})
+        _fs_write_json(
+            self.fs, manifest, {"files": files, "file_stats": fstats}
+        )
         _write_schema_sidecar(self.path, self._arrow_schema(), fs=self.fs)
 
     def abort(self, messages: list[AisleCommit]) -> None:

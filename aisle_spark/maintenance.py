@@ -96,7 +96,11 @@ def compact_encoded(
         raise RuntimeError("compaction produced no files")
     manifest = f"{root}/{_MANIFEST}"
     old = _fs_read_json(fs, manifest)
-    payload: dict = {"files": new_files, "compacted_from": len(files)}
+    payload: dict = {
+        "files": new_files,
+        "compacted_from": len(files),
+        "file_stats": _recompute_file_stats(fs, root, new_files),
+    }
     if "batches" in old:
         # streaming-sink tables: retire the per-batch map — all history is
         # now represented by the compacted file set
@@ -109,6 +113,65 @@ def compact_encoded(
         "subdir": subdir,
         "ordered_by": order_by,
     }
+
+
+def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
+    """Per-file [min, max] bounds for the manifest-list pruning tier
+    (datasource.file_keep), aggregated from the block stat columns in one
+    DuckDB pass; only JSON-safe scalar bounds are recorded (absent =>
+    Unknown => file kept, always sound)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    first = f"{root}/{rel_files[0]}"
+    src = fs.open_input_file(first) if fs is not None else first
+    names = pq.read_schema(src).names
+    cols = [
+        n[: -len("__min")]
+        for n in names
+        if n.endswith("__min") and f"{n[: -len('__min')]}__max" in names
+    ]
+    if not cols:
+        return {}
+    con = duckdb.connect()
+    aggs = ", ".join(
+        f'min("{c}__min") AS "mn_{i}", max("{c}__max") AS "mx_{i}"'
+        for i, c in enumerate(cols)
+    )
+    if fs is None:
+        listed = ", ".join(f"'{root}/{f}'" for f in rel_files)
+        rows = con.execute(
+            f"SELECT filename, {aggs} FROM read_parquet([{listed}], "
+            "filename=true) GROUP BY filename"
+        ).fetchall()
+        rel_of = {f"{root}/{f}": f for f in rel_files}
+    else:
+        parts = []
+        import pyarrow as pa
+
+        for f in rel_files:
+            with fs.open_input_file(f"{root}/{f}") as srcf:
+                t = pq.read_table(
+                    srcf, columns=[f"{c}__{s}" for c in cols for s in ("min", "max")]
+                )
+            t = t.append_column("filename", pa.array([f] * t.num_rows))
+            parts.append(t)
+        stats_tbl = pa.concat_tables(parts)  # noqa: F841 (duckdb scan)
+        rows = con.execute(
+            f"SELECT filename, {aggs} FROM stats_tbl GROUP BY filename"
+        ).fetchall()
+        rel_of = {f: f for f in rel_files}
+    out: dict = {}
+    for row in rows:
+        rel = rel_of.get(row[0], row[0])
+        stats = {}
+        for i, c in enumerate(cols):
+            mn, mx = row[1 + 2 * i], row[2 + 2 * i]
+            if isinstance(mn, (int, float, str)) and isinstance(mx, (int, float, str)):
+                stats[c] = [mn, mx]
+        if stats:
+            out[rel] = stats
+    return out
 
 
 def vacuum_encoded(path: str, dry_run: bool = False) -> list[str]:

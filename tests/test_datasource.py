@@ -495,3 +495,102 @@ class TestHardening:
         got = spark.read.format("aisle").load(out)
         assert got.count() == 0
         assert sorted(got.columns) == sorted(df.columns)
+
+
+class TestFileLevelPruning:
+    """Two-tier pruning: the manifest-list level (per-file [min,max] in
+    _aisle_files.json) must drop whole files before any manifest row is
+    scanned — and never drop a file whose blocks could match."""
+
+    @pytest.fixture()
+    def per_source_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "fp")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(81, 2000)]))
+        for src in ("books", "web", "code"):
+            df.filter(F.col("source") == src).repartition(1).write.format(
+                "aisle"
+            ).option("sortCols", "n_tok").mode("append").save(out)
+        return df, out
+
+    def test_manifest_carries_file_stats(self, spark, per_source_files):
+        _df, out = per_source_files
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        assert set(m["file_stats"]) == set(m["files"])
+        some = next(iter(m["file_stats"].values()))
+        assert "source" in some and "n_tok" in some
+        mn, mx = some["source"]
+        assert isinstance(mn, str) and mn <= mx
+
+    def test_whole_files_skipped_at_planning(self, spark, per_source_files):
+        from pyspark.sql.datasource import EqualTo
+
+        from aisle_spark.datasource import AisleReader
+
+        _df, out = per_source_files
+        r = AisleReader(out)
+        r.pushFilters([EqualTo(("source",), "web")])
+        touched = {p.path for p in r.partitions()}
+        assert len(touched) == 1  # exactly the 'web' file
+
+    def test_file_keep_superset_of_block_survivors(self, spark, per_source_files):
+        """Stripping file_stats must never ADD result files — file-level
+        pruning only removes files whose every block was doomed anyway."""
+        import random
+
+        from aisle_spark.datasource import AisleReader
+        from tests.test_random_predicates import _rand_spec
+
+        _df, out = per_source_files
+        manifest = os.path.join(out, "_aisle_files.json")
+        m = json.load(open(manifest))
+        rng = random.Random(7)
+        for _ in range(15):
+            spec = _rand_spec(rng)
+            r = AisleReader(out)
+            r.spec = spec
+            with_stats = {p.path: p.rows for p in r.partitions()}
+            stripped = dict(m, file_stats={})
+            json.dump(stripped, open(manifest, "w"))
+            try:
+                r2 = AisleReader(out)
+                r2.spec = spec
+                without = {p.path: p.rows for p in r2.partitions()}
+            finally:
+                json.dump(m, open(manifest, "w"))
+            assert with_stats == without, repr(spec)
+
+    def test_results_exact_with_file_pruning(self, spark, per_source_files):
+        from pyspark.sql import functions as F
+
+        df, out = per_source_files
+        got = (
+            spark.read.format("aisle")
+            .load(out)
+            .filter((F.col("source") == "web") & (F.col("n_tok") > 50))
+        )
+        exp = df.filter("source = 'web' AND n_tok > 50")
+        assert sorted(r.doc_id for r in got.collect()) == sorted(
+            r.doc_id for r in exp.collect()
+        )
+
+    def test_compact_regenerates_file_stats(self, spark, per_source_files):
+        from pyspark.sql.datasource import EqualTo
+
+        from aisle_spark.datasource import AisleReader
+        from aisle_spark.maintenance import compact_encoded
+
+        df, out = per_source_files
+        compact_encoded(spark, out, target_files=3, order_by="source")
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        assert m["file_stats"] and set(m["file_stats"]) <= set(m["files"])
+        r = AisleReader(out)
+        r.pushFilters([EqualTo(("source",), "web")])
+        touched = {p.path for p in r.partitions()}
+        assert 0 < len(touched) < 3
+        got = spark.read.format("aisle").load(out)
+        assert got.count() == df.filter(
+            "source IN ('books','web','code')"
+        ).count()
