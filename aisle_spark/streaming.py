@@ -51,10 +51,24 @@ def _read_manifest(out_path: str) -> dict:
 
 
 def _commit_batch(out_path: str, batch_id: int, files: list[str]) -> None:
-    """Atomically record this batch's files; replays replace, never add."""
+    """Atomically record this batch's files; replays replace, never add.
+    Each commit also records the files' [min,max] bounds so streamed
+    tables participate in the manifest-list pruning tier
+    (datasource.file_keep) like batch-written ones."""
     m = _read_manifest(out_path)
+    replaced = set(m["batches"].get(str(batch_id), []))
     m["batches"][str(batch_id)] = files
     m["files"] = sorted(f for fs in m["batches"].values() for f in fs)
+    stats = {
+        k: v
+        for k, v in m.get("file_stats", {}).items()
+        if k in set(m["files"]) - replaced
+    }
+    if files:
+        from aisle_spark.maintenance import _recompute_file_stats
+
+        stats.update(_recompute_file_stats(None, out_path.rstrip("/"), files))
+    m["file_stats"] = stats
     tmp = _manifest_path(out_path) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(m, fh)

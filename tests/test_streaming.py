@@ -113,3 +113,32 @@ def test_replayed_batch_is_idempotent(spark, dirs):
     S._commit_batch(out, 0, names)
     blocks, schema = read_encoded(spark, out)
     assert scan(blocks, schema).count() == n_before  # replaced, not appended
+
+
+def test_stream_commits_record_file_stats(spark, dirs):
+    """Streamed tables join the manifest-list pruning tier: each batch
+    commit carries its files' [min,max] bounds, and the batch data source
+    prunes whole streamed files on them."""
+    src, out, ckp = dirs
+    _drop(src, "a.parquet", 5, 2000)
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = encode_stream(stream, out, ckp, parts=4, sort_cols=["source", "n_tok"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = _read_manifest(out)
+    assert m["files"] and set(m["file_stats"]) == set(m["files"])
+    some = next(iter(m["file_stats"].values()))
+    assert "n_tok" in some and some["n_tok"][0] <= some["n_tok"][1]
+
+    from aisle_spark.datasource import file_keep
+
+    spec = col("n_tok") > 10**9
+    assert all(not file_keep(s, spec) for s in m["file_stats"].values())
