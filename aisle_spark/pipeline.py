@@ -662,7 +662,16 @@ def _rebuild_manifest(out_path: str, in_schema: pa.Schema, fs=None) -> list[str]
         _fs_read_json(fs, p)["file"]
         for p, _sz in _fs_list(fs, f"{out_path.rstrip('/')}/_done", ".json")
     )
-    _fs_write_json(fs, f"{out_path.rstrip('/')}/_aisle_files.json", {"files": committed})
+    manifest: dict = {"files": committed}
+    if committed:
+        # per-file [min,max] bounds: the manifest-list pruning tier the
+        # data source plans with (datasource.file_keep)
+        from aisle_spark.maintenance import _recompute_file_stats
+
+        manifest["file_stats"] = _recompute_file_stats(
+            fs, out_path.rstrip("/"), committed
+        )
+    _fs_write_json(fs, f"{out_path.rstrip('/')}/_aisle_files.json", manifest)
     # sidecar records the ORIGINAL (possibly nested) schema — scan derives
     # the flat leaf specs from it
     in_arrow = pa.schema([f for f in in_schema if not f.name.startswith("_")])
@@ -1006,6 +1015,28 @@ def prune_report(blocks: DataFrame, where: Spec | str) -> dict:
 def write_encoded(blocks: DataFrame, path: str, schema: pa.Schema, mode: str = "error") -> None:
     blocks.write.mode(mode).parquet(path)
     _write_schema_sidecar(path, schema)
+    # commit a manifest with per-file [min,max] bounds so the data source
+    # gets the manifest-list pruning tier over this layout too
+    import glob as _glob
+    import os as _os
+
+    files = sorted(
+        _os.path.basename(p)
+        for p in _glob.glob(_os.path.join(path, "*.parquet"))
+        if not _os.path.basename(p).startswith(("_", "."))
+    )
+    from aisle_spark.maintenance import _recompute_file_stats
+
+    _fs_write_json(
+        None,
+        _os.path.join(path, "_aisle_files.json"),
+        {
+            "files": files,
+            "file_stats": _recompute_file_stats(None, path.rstrip("/"), files)
+            if files
+            else {},
+        },
+    )
 
 
 def _write_schema_sidecar(path: str, schema: pa.Schema, fs=None) -> None:
