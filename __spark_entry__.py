@@ -486,6 +486,27 @@ def _ds_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DS_COMPACTED: set[str] = set()
+
+
+def _ds_compacted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact the data-source table (block rows shuffle, payloads never
+    decode, atomic manifest swap) then run a pruned scan over the result
+    — gates the whole maintenance path against the raw-parquet oracle."""
+    out = _ds_dir(spark, sf_dir)
+    if out not in _DS_COMPACTED:
+        from aisle_spark.maintenance import compact_encoded
+
+        compact_encoded(spark, out, target_files=2, order_by="source")
+        _DS_COMPACTED.add(out)
+    return (
+        spark.read.format("aisle")
+        .option("where", "source = 'src7' AND n_chars <= 400")
+        .load(out)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 def _ds_where_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("aisle")
@@ -505,6 +526,11 @@ _DS_QUERIES = {
         _ds_where_query,
         "SELECT doc_id, n_chars FROM documents "
         "WHERE n_chars BETWEEN 100 AND 350 AND source IN ('src0','src4')",
+    ),
+    "datasource_compacted_scan": (
+        _ds_compacted_query,
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE source = 'src7' AND n_chars <= 400",
     ),
 }
 
