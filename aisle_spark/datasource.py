@@ -751,19 +751,26 @@ class AisleWriter(DataSourceArrowWriter):
             _write_schema_sidecar,
         )
 
+        from aisle_spark.pipeline import manifest_lock
+
         live = [m for m in messages if m is not None and m.n_blocks > 0]
-        files = sorted(m.filename for m in live)
-        fstats = {m.filename: m.stats for m in live if m.stats}
+        new_files = sorted(m.filename for m in live)
+        new_stats = {m.filename: m.stats for m in live if m.stats}
         manifest = f"{self.path.rstrip('/')}/{_FILES_MANIFEST}"
-        if not self.overwrite and _exists(self.fs, manifest):
-            old = _fs_read_json(self.fs, manifest)
-            files = sorted(set(old["files"]) | set(files))
-            fstats = {**old.get("file_stats", {}), **fstats}
-        # local: tmp + atomic rename; object store: one atomic PUT — the
-        # same commit discipline as the direct-write encode
-        _fs_write_json(
-            self.fs, manifest, {"files": files, "file_stats": fstats}
-        )
+        # read-merge-write under the manifest lock: concurrent local
+        # appends can never drop each other's files (object-store callers
+        # get last-writer-wins; see manifest_lock)
+        with manifest_lock(self.fs, self.path):
+            files, fstats = new_files, new_stats
+            if not self.overwrite and _exists(self.fs, manifest):
+                old = _fs_read_json(self.fs, manifest)
+                files = sorted(set(old["files"]) | set(files))
+                fstats = {**old.get("file_stats", {}), **fstats}
+            # local: tmp + atomic rename; object store: one atomic PUT —
+            # the same commit discipline as the direct-write encode
+            _fs_write_json(
+                self.fs, manifest, {"files": files, "file_stats": fstats}
+            )
         _write_schema_sidecar(self.path, self._arrow_schema(), fs=self.fs)
 
     def abort(self, messages: list[AisleCommit]) -> None:

@@ -95,17 +95,28 @@ def compact_encoded(
     if not new_files:
         raise RuntimeError("compaction produced no files")
     manifest = f"{root}/{_MANIFEST}"
-    old = _fs_read_json(fs, manifest)
-    payload: dict = {
-        "files": new_files,
-        "compacted_from": len(files),
-        "file_stats": _recompute_file_stats(fs, root, new_files),
-    }
-    if "batches" in old:
-        # streaming-sink tables: retire the per-batch map — all history is
-        # now represented by the compacted file set
-        payload["batches"] = {}
-    _fs_write_json(fs, manifest, payload)
+    new_stats = _recompute_file_stats(fs, root, new_files)
+    from aisle_spark.pipeline import manifest_lock
+
+    with manifest_lock(fs, root):
+        # re-read under the lock: files appended since compaction started
+        # (not among our inputs) must survive the manifest swap
+        old = _fs_read_json(fs, manifest)
+        survivors = sorted(set(old["files"]) - set(files))
+        old_stats = old.get("file_stats", {})
+        payload: dict = {
+            "files": sorted(set(new_files) | set(survivors)),
+            "compacted_from": len(files),
+            "file_stats": {
+                **{k: v for k, v in old_stats.items() if k in set(survivors)},
+                **new_stats,
+            },
+        }
+        if "batches" in old:
+            # streaming-sink tables: retire the per-batch map — all
+            # history is now represented by the compacted file set
+            payload["batches"] = {}
+        _fs_write_json(fs, manifest, payload)
     return {
         "files_before": len(files),
         "files_after": len(new_files),

@@ -394,6 +394,32 @@ def _fs_write_json(fs, path: str, obj) -> None:
             out.write(body.encode())
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def manifest_lock(fs, root: str):
+    """Serialize manifest read-modify-write cycles between LOCAL writers
+    (concurrent appends, append-vs-compact) via flock on a sibling lock
+    file. On an object store (``fs`` given) this is a documented no-op:
+    last-writer-wins there, exactly as for every manifest PUT — true
+    multi-writer safety needs the store's conditional-put (If-Match /
+    generation preconditions), which pyarrow.fs does not expose; front a
+    catalog or single-writer discipline in that deployment."""
+    if fs is not None:
+        yield
+        return
+    import fcntl
+
+    lock_path = f"{root.rstrip('/')}/_aisle_manifest.lock"
+    with open(lock_path, "a") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
 def _fs_read_json(fs, path: str):
     import json as _json
 

@@ -55,6 +55,13 @@ def _commit_batch(out_path: str, batch_id: int, files: list[str]) -> None:
     Each commit also records the files' [min,max] bounds so streamed
     tables participate in the manifest-list pruning tier
     (datasource.file_keep) like batch-written ones."""
+    from aisle_spark.pipeline import manifest_lock
+
+    with manifest_lock(None, out_path):
+        _commit_batch_locked(out_path, batch_id, files)
+
+
+def _commit_batch_locked(out_path: str, batch_id: int, files: list[str]) -> None:
     m = _read_manifest(out_path)
     replaced = set(m["batches"].get(str(batch_id), []))
     m["batches"][str(batch_id)] = files

@@ -121,3 +121,27 @@ def test_compact_multi_column_order(spark, small_files_table):
     assert summary["files_after"] <= 2
     got = spark.read.format("aisle").load(out)
     assert got.count() == df.count()
+
+
+def test_manifest_lock_serializes_read_modify_write(tmp_path):
+    """Concurrent local committers under manifest_lock never lose
+    updates (the append-vs-append / append-vs-compact race)."""
+    import threading
+
+    from aisle_spark.pipeline import _fs_read_json, _fs_write_json, manifest_lock
+
+    root = str(tmp_path)
+    target = f"{root}/_aisle_files.json"
+    _fs_write_json(None, target, {"n": 0})
+
+    def bump():
+        for _ in range(25):
+            with manifest_lock(None, root):
+                m = _fs_read_json(None, target)
+                m["n"] += 1
+                _fs_write_json(None, target, m)
+
+    threads = [threading.Thread(target=bump) for _ in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert _fs_read_json(None, target)["n"] == 200
