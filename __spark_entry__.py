@@ -350,6 +350,16 @@ _SPECS: dict[str, tuple] = {
         "",
         None,
     ),
+    # regex residual (RLIKE): no pruning evidence by design; the prunable
+    # source conjunct supplies block skipping and the regex runs exactly
+    "scan_rlike": (
+        "documents",
+        _DOC_SORT,
+        (col("source") == "src5") & col("text").rlike("(data|model) [a-z]+"),
+        ["doc_id", "n_chars"],
+        "",
+        None,
+    ),
     # bloom definite-absence over an IN list on a high-cardinality string
     # key (multi-value _bloom_absent: prune only when EVERY value absent)
     "scan_doc_id_bloom_in": (

@@ -643,11 +643,12 @@ def decode_block_filtered(
     )
     try:
         mask = row_mask(where, pred_batch)
-    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError, TypeError):
         # literal/column type combo the Arrow kernels can't express with
-        # Spark semantics — let the single source of truth (the Catalyst
-        # residual after decode) evaluate it instead of risking a mask
-        # that disagrees (ADVICE r2 high)
+        # Spark semantics, or a residual-only Spec rowmask doesn't
+        # implement (TypeError from _eval, e.g. Regexp) — let the single
+        # source of truth (the Catalyst residual after decode) evaluate it
+        # instead of risking a mask that disagrees (ADVICE r2 high)
         return decode_block(specs, row, columns)
     n = pred_batch.num_rows
     sel = np.flatnonzero(mask)

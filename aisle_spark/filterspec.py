@@ -814,6 +814,39 @@ class Like(Spec):
 
 
 @dataclass(frozen=True)
+class Regexp(Spec):
+    """``col RLIKE pattern`` — residual-only like the general ``Like``:
+    block evidence is Unknown, the exact predicate is Spark's own
+    ``rlike`` after decode (the in-reader mask deliberately does NOT
+    evaluate it: Java-regex vs RE2 divergence could otherwise drop rows;
+    decode_block_filtered falls back to full decode + Catalyst residual).
+    The reference has no regex pruning at all — this extends the
+    compile-rejects/we-evaluate family (src/compile.rs:700-745)."""
+
+    col: str
+    pattern: str
+
+    def tri(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Tri:
+        return Tri(F.lit(False), F.lit(False))
+
+    def keep(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(True)
+
+    def not_true(self, opts: PruneOptions = DEFAULT_OPTIONS) -> Column:
+        return F.lit(True)
+
+    def residual(self) -> Column:
+        return F.col(self.col).rlike(self.pattern)
+
+    def to_sql(self) -> str:
+        esc = self.pattern.replace("'", "''")
+        return f"regexp_matches({self.col}, '{esc}')"
+
+    def columns(self) -> set[str]:
+        return {self.col}
+
+
+@dataclass(frozen=True)
 class MapKeyCmp(Spec):
     """``element_at(col, key) op value`` over a string-keyed map column —
     the map half of the reference's dotted-path pruning
@@ -1143,6 +1176,10 @@ class col:
         it like a scalar (key-set + per-key-range pruned). ``sql_expr``
         overrides the oracle-side access expression."""
         return _MapKeyRef(self.name, key, sql_expr)
+
+    def rlike(self, pattern: str):
+        """Regex match — residual-only (see Regexp)."""
+        return Regexp(self.name, pattern)
 
     def like(self, pattern: str):
         """LIKE-pattern classification, extending the reference's

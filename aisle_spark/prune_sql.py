@@ -49,6 +49,7 @@ from aisle_spark.filterspec import (
     Not,
     Or,
     PruneOptions,
+    Regexp,
     Spec,
     StartsWith,
     _sql_lit,
@@ -293,7 +294,7 @@ def keep_sql(spec: Spec, opts: PruneOptions = DEFAULT_OPTIONS) -> str:
         return not_true_sql(spec.inner, opts)
     if isinstance(spec, AlwaysTrue):
         return "TRUE"
-    if isinstance(spec, Like):
+    if isinstance(spec, (Like, Regexp)):
         return "TRUE"
     if isinstance(spec, Between):
         return keep_sql(spec._parts(), opts)
@@ -324,7 +325,7 @@ def not_true_sql(spec: Spec, opts: PruneOptions = DEFAULT_OPTIONS) -> str:
         return keep_sql(spec.inner, opts)
     if isinstance(spec, AlwaysTrue):
         return "FALSE"
-    if isinstance(spec, Like):
+    if isinstance(spec, (Like, Regexp)):
         return "TRUE"
     if isinstance(spec, Between):
         return not_true_sql(spec._parts(), opts)

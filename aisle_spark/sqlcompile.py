@@ -52,6 +52,7 @@ from aisle_spark.filterspec import (
     MapKeyCmp,
     Not,
     Or,
+    Regexp,
     Spec,
     StartsWith,
 )
@@ -107,7 +108,8 @@ def _is_ident(tok: str) -> bool:
         and (tok[0].isalpha() or tok[0] in '_"`')
         and tok.upper()
         not in ("AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN", "LIKE",
-                "TRUE", "FALSE", "ESCAPE", "DATE", "TIMESTAMP", "INTERVAL")
+                "TRUE", "FALSE", "ESCAPE", "DATE", "TIMESTAMP", "INTERVAL",
+                "RLIKE")
     )
 
 
@@ -222,6 +224,12 @@ class _Parser:
                 name = _ident_name(self.next())
                 self.expect(")")
                 return ("len", name)
+            if fn == "REGEXP_MATCHES":
+                name = _ident_name(self.next())
+                self.expect(",")
+                pat = _unquote_str(self.next())
+                self.expect(")")
+                return ("any_done", Regexp(name, pat))
             if fn == "ARRAY_CONTAINS":
                 name = _ident_name(self.next())
                 self.expect(",")
@@ -327,7 +335,7 @@ class _Parser:
             self.next()
             negated = True
             up = (self.peek() or "").upper()
-            if up not in ("BETWEEN", "IN", "LIKE"):
+            if up not in ("BETWEEN", "IN", "LIKE", "RLIKE"):
                 raise SqlCompileError(f"expected BETWEEN/IN/LIKE after NOT, got {up}")
         if up == "BETWEEN":
             self.next()
@@ -346,6 +354,13 @@ class _Parser:
             if lhs[0] != "col":
                 raise SqlCompileError("IN applies to plain columns")
             out = InList(lhs[1], tuple(vals))
+            return Not(out) if negated else out
+        if up == "RLIKE":
+            self.next()
+            pat = _unquote_str(self.next())
+            if lhs[0] != "col":
+                raise SqlCompileError("RLIKE applies to plain columns")
+            out = Regexp(lhs[1], pat)
             return Not(out) if negated else out
         if up == "LIKE":
             self.next()

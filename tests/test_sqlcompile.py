@@ -128,3 +128,36 @@ def test_scan_with_parsed_where_matches_builder(spark):
         ).select("doc_id").collect()
     )
     assert g == e == e2 and g
+
+
+class TestRegexp:
+    def test_roundtrip_and_forms(self):
+        from aisle_spark.filterspec import Regexp, col
+
+        spec = col("s").rlike("^ab.*[0-9]$")
+        assert parse_where(spec.to_sql()) == spec
+        assert parse_where("s RLIKE '^a'") == Regexp("s", "^a")
+        assert parse_where("NOT s RLIKE '^a'") == Not(Regexp("s", "^a"))
+
+    def test_scan_rlike_exact(self, spark):
+        import pyarrow as pa
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+        from aisle_spark.schema import synth_batch
+
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(91, 1500)]))
+        blocks = encode_table(df, parts=4, block_rows=256, sort_cols=["source"]).cache()
+        schema = arrow_schema_of(df)
+        spec = (col("source") == "web") & col("doc_id").rlike("0{2}[0-9]$")
+        got = sorted(
+            r.doc_id for r in scan(blocks, schema, where=spec, columns=["doc_id"]).collect()
+        )
+        exp = sorted(
+            r.doc_id
+            for r in df.filter(
+                "source = 'web' AND doc_id RLIKE '0{2}[0-9]$'"
+            ).collect()
+        )
+        assert got == exp and got
+        blocks.unpersist()
