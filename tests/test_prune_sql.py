@@ -138,3 +138,30 @@ def test_keep_sql_typed_operands(spark, tmp_path):
         sql = keep_sql(spec)
         duck = {r[0] for r in con.execute(f"SELECT block_id FROM m WHERE {sql}").fetchall()}
         assert duck == cat, f"spec={spec!r}\nsql={sql}"
+
+
+def test_keep_sql_adversarial_strings(spark, tmp_path):
+    """Values containing quotes/backslashes/unicode must render into valid
+    DuckDB SQL selecting the same blocks as Catalyst."""
+    from pyspark.sql import types as T
+
+    nasty = ["o'brien", "100%", "back\\slash", "émoji🙂", "''", "plain"]
+    rows = [(i, nasty[i % len(nasty)]) for i in range(600)]
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("id", T.LongType()), T.StructField("s", T.StringType())])
+    )
+    blocks = encode_table(df, parts=2, block_rows=64, sort_cols=["s"]).cache()
+    out = str(tmp_path / "enc")
+    write_encoded(blocks, out, arrow_schema_of(df))
+    con = _duck(out)
+    for v in nasty:
+        for spec in (col("s") == v, col("s") != v, col("s").isin(v), col("s").startswith(v[:3])):
+            cat = {r.block_id for r in blocks.filter(spec.keep()).select("block_id").collect()}
+            duck = {
+                r[0]
+                for r in con.execute(
+                    f"SELECT block_id FROM m WHERE {keep_sql(spec)}"
+                ).fetchall()
+            }
+            assert duck == cat, f"{v!r} {spec!r}"
+    blocks.unpersist()

@@ -161,3 +161,23 @@ class TestRegexp:
         )
         assert got == exp and got
         blocks.unpersist()
+
+
+def test_roundtrip_adversarial_literals():
+    """Quotes, wildcards-as-data, backslashes, unicode, newlines — the
+    to_sql escaping and the parser must agree on all of them."""
+    from aisle_spark.filterspec import col
+
+    nasty = ["o'brien", "100%", "a_b", "back\\slash", "new\nline", "tab\there",
+             "émoji🙂", "''", "x'; DROP TABLE t; --"]
+    for v in nasty:
+        for spec in (
+            col("s") == v,
+            col("s").isin(v, "plain"),
+            col("s") != v,
+        ):
+            assert parse_where(spec.to_sql()) == spec, spec.to_sql()
+    # prefixes with wildcard characters AS DATA survive the LIKE escaping
+    for p in ("pre%fix", "under_score", "mix%_ed", "o'quote"):
+        spec = col("s").startswith(p)
+        assert parse_where(spec.to_sql()) == spec, spec.to_sql()
