@@ -273,3 +273,55 @@ def test_injected_media_encoder(spark):
     assert decode_media(b"xx", "audio", decoder=lambda p, k: (k, len(p))) == ("audio", 2)
     with _pytest.raises(LookupError):
         decode_media(b"xx", "audio")
+
+
+class TestAnnIvf:
+    def test_lists_scale_with_corpus(self):
+        from aisle_spark.dataops import ivf_lists_for
+
+        assert ivf_lists_for(100) == 10
+        assert ivf_lists_for(10**6) == 1000
+        assert ivf_lists_for(10**9) > 30000
+
+    def test_ivf_recall_on_planted_clusters(self, spark):
+        """Same planted-cluster contract as multiprobe LSH: IVF top-5 with
+        nprobe=4 must recover the cluster mates brute force finds."""
+        import numpy as np
+
+        from aisle_spark.dataops import _DIALECTS, _t_ann_dot_topk, ann_ivf_topk
+
+        C, M = 200, 6
+        rng = np.random.default_rng(17)
+        base = rng.standard_normal((C, 64))
+        vecs = base[np.arange(C * M) % C] + 0.05 * rng.standard_normal((C * M, 64))
+        vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype("float32")
+        rows = [(int(i), [float(x) for x in vecs[i]], 0) for i in range(C * M)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in spark.sql(_t_ann_dot_topk(_DIALECTS["spark"])).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(spark, n_lists=32, nprobe=4).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.8, recall
+
+    def test_ivf_deterministic(self, spark):
+        import numpy as np
+
+        from aisle_spark.dataops import ann_ivf_topk
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((400, 64)).astype("float32")
+        rows = [(int(i), [float(x) for x in vecs[i]], 0) for i in range(400)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+        a = sorted(map(tuple, ann_ivf_topk(spark).collect()))
+        b = sorted(map(tuple, ann_ivf_topk(spark).collect()))
+        assert a == b and a
