@@ -874,12 +874,16 @@ def scan(
     schema: pa.Schema,
     where: Spec | str | None = None,
     columns: list[str] | None = None,
+    opts: "PruneOptions | None" = None,
 ) -> DataFrame:
     """Pruned, projected, exact scan over an encoded blocks table.
 
     ``where`` accepts a Spec from the ``col()`` builder or a SQL WHERE
     string (compiled by sqlcompile.parse_where — the reference's
-    compile_expr entry, /root/reference/src/compile.rs).
+    compile_expr entry, /root/reference/src/compile.rs). ``opts`` toggles
+    the dictionary/bloom evidence classes (the reference's PruneOptions,
+    src/prune/options.rs) — results are identical either way, only the
+    amount of block skipping changes.
 
     ``schema`` is the ORIGINAL (possibly nested) table schema; ``columns``
     names top-level columns; predicates may use dotted leaf paths
@@ -944,7 +948,9 @@ def scan(
 
     if where is not None:
         _assert_utc_for_datetime_literals(blocks, where)
-        blocks = blocks.filter(where.keep_blocks())
+        from aisle_spark.filterspec import DEFAULT_OPTIONS
+
+        blocks = blocks.filter(where.keep_blocks(opts or DEFAULT_OPTIONS))
     payload_cols = [f"{c}__payload" for c in need]
     if where is not None:
         # ship the per-chunk stat arrays of predicate columns into the

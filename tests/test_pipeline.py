@@ -292,3 +292,32 @@ class TestPruneReport:
         rep2 = prune_report(blocks, "source = 'web' AND n_tok > 100")
         assert rep2["kept_full"] == rep["kept_full"]
         blocks.unpersist()
+
+
+def test_scan_prune_options_toggle(spark):
+    """PruneOptions plumb through scan: evidence off loses skipping but
+    never changes results."""
+    import pyarrow as pa
+
+    from aisle_spark.filterspec import PruneOptions, col
+    from aisle_spark.pipeline import encode_table, scan
+    from aisle_spark.schema import TOKEN_SCHEMA, synth_batch
+
+    df = spark.createDataFrame(pa.Table.from_batches([synth_batch(95, 1500)]))
+    blocks = encode_table(df, parts=4, block_rows=128, sort_cols=["source"]).cache()
+    spec = col("source") == "web"
+    on = sorted(r.doc_id for r in scan(blocks, TOKEN_SCHEMA, where=spec, columns=["doc_id"]).collect())
+    off = sorted(
+        r.doc_id
+        for r in scan(
+            blocks, TOKEN_SCHEMA, where=spec, columns=["doc_id"],
+            opts=PruneOptions(use_dict=False, use_bloom=False),
+        ).collect()
+    )
+    kept_on = blocks.filter(spec.keep_blocks()).count()
+    kept_off = blocks.filter(
+        spec.keep_blocks(PruneOptions(use_dict=False, use_bloom=False))
+    ).count()
+    assert on == off and on
+    assert kept_on <= kept_off
+    blocks.unpersist()
