@@ -146,7 +146,7 @@ def cmd_compact(args) -> None:
     )
     print(summary)
     if args.vacuum and not summary.get("skipped"):
-        removed = vacuum_encoded(args.table)
+        removed = vacuum_encoded(args.table, min_age_seconds=args.min_age)
         print(f"vacuumed {len(removed)} files")
     spark.stop()
 
@@ -154,7 +154,9 @@ def cmd_compact(args) -> None:
 def cmd_vacuum(args) -> None:
     from aisle_spark.maintenance import vacuum_encoded
 
-    removed = vacuum_encoded(args.table, dry_run=args.dry_run)
+    removed = vacuum_encoded(
+        args.table, dry_run=args.dry_run, min_age_seconds=args.min_age
+    )
     verb = "would delete" if args.dry_run else "deleted"
     print(f"{verb} {len(removed)} files")
     for f in removed:
@@ -235,11 +237,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="cluster output files by this column's block minima")
     c.add_argument("--vacuum", action="store_true",
                    help="delete the replaced files after the commit")
+    c.add_argument("--min-age", type=float, default=600.0,
+                   help="vacuum grace seconds protecting in-flight writers")
     c.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("vacuum", help="delete unreferenced data files")
     v.add_argument("--table", required=True)
     v.add_argument("--dry-run", action="store_true")
+    v.add_argument("--min-age", type=float, default=600.0)
     v.set_defaults(fn=cmd_vacuum)
 
     z = sub.add_parser("package", help="zip the package for --py-files")

@@ -185,10 +185,17 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
     return out
 
 
-def vacuum_encoded(path: str, dry_run: bool = False) -> list[str]:
+def vacuum_encoded(
+    path: str, dry_run: bool = False, min_age_seconds: float = 600.0
+) -> list[str]:
     """Delete data files the manifest no longer references (pre-compaction
     leftovers, failed attempts). Never touches the manifest, sidecars, or
-    Spark metadata. Run only after readers of older snapshots finished."""
+    Spark metadata. Run only after readers of older snapshots finished.
+
+    ``min_age_seconds`` protects IN-FLIGHT writers: a concurrent append
+    writes its data file BEFORE the manifest commit, so an unreferenced
+    file younger than the grace window is skipped (same discipline as
+    lakehouse VACUUM retention). Set 0 only when no writer can be live."""
     fs, root = _fs_of(path)
     root = root.rstrip("/")
     keep = set(_fs_read_json(fs, f"{root}/{_MANIFEST}")["files"])
@@ -209,10 +216,30 @@ def vacuum_encoded(path: str, dry_run: bool = False) -> list[str]:
                 "compact-"
             ):
                 entries += _fs_list(fs, info.path, ".parquet")
+    import time
+
+    now = time.time()
     for p, _size in entries:
         rel = p[len(root) + 1 :] if p.startswith(root + "/") else p
-        if rel not in keep:
-            victims.append(rel)
+        if rel in keep:
+            continue
+        if min_age_seconds > 0:
+            if fs is None:
+                import os
+
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+            else:
+                info = fs.get_file_info(p)
+                mtime = getattr(info, "mtime", None)
+                age = (
+                    now - mtime.timestamp() if mtime is not None else float("inf")
+                )
+            if age < min_age_seconds:
+                continue
+        victims.append(rel)
     if not dry_run:
         import os
 

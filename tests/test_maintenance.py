@@ -88,9 +88,9 @@ class TestVacuum:
         df, out = small_files_table
         old_files = _manifest(out)["files"]
         compact_encoded(spark, out, target_files=2)
-        victims = vacuum_encoded(out, dry_run=True)
+        victims = vacuum_encoded(out, dry_run=True, min_age_seconds=0)
         assert set(victims) == set(old_files)
-        removed = vacuum_encoded(out)
+        removed = vacuum_encoded(out, min_age_seconds=0)
         assert set(removed) == set(old_files)
         for f in old_files:
             assert not os.path.exists(os.path.join(out, f))
@@ -99,7 +99,7 @@ class TestVacuum:
 
     def test_vacuum_noop_on_clean_table(self, spark, small_files_table):
         _df, out = small_files_table
-        assert vacuum_encoded(out, dry_run=True) == []
+        assert vacuum_encoded(out, dry_run=True, min_age_seconds=0) == []
 
 
 def test_compact_file_uri(spark, tmp_path):
@@ -111,7 +111,7 @@ def test_compact_file_uri(spark, tmp_path):
     summary = compact_encoded(spark, out, target_files=1)
     assert summary["files_after"] == 1
     assert spark.read.format("aisle").load(out).count() == 600
-    vacuum_encoded(out)
+    vacuum_encoded(out, min_age_seconds=0)
     assert spark.read.format("aisle").load(out).count() == 600
 
 
@@ -145,3 +145,13 @@ def test_manifest_lock_serializes_read_modify_write(tmp_path):
     [t.start() for t in threads]
     [t.join() for t in threads]
     assert _fs_read_json(None, target)["n"] == 200
+
+
+def test_vacuum_grace_protects_fresh_files(spark, small_files_table):
+    """Default grace window: files younger than min_age are never deleted
+    (they may belong to an in-flight, not-yet-committed writer)."""
+    _df, out = small_files_table
+    old_files = _manifest(out)["files"]
+    compact_encoded(spark, out, target_files=2)
+    assert vacuum_encoded(out, dry_run=True) == []  # all fresh: protected
+    assert set(vacuum_encoded(out, dry_run=True, min_age_seconds=0)) == set(old_files)
