@@ -104,6 +104,22 @@ def _events_props_map(df: DataFrame) -> DataFrame:
     return df.withColumn("props", F.from_json(F.col("props"), "map<string,bigint>"))
 
 
+def _events_struct_map(df: DataFrame) -> DataFrame:
+    # map INSIDE a struct: the two nested features composed — dotted path
+    # resolution through the struct flattening reaches the map leaf's
+    # key-set/per-key evidence (/root/reference/src/compile.rs visit_field
+    # x src/prune/stats.rs map branches)
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.struct(
+            F.from_json(F.col("props"), "map<string,bigint>").alias("props")
+        ).alias("wrap"),
+    )
+
+
 def _events_key_map(df: DataFrame) -> DataFrame:
     # map keyed BY event_type: with blocks sorted on event_type, the
     # key-absence evidence (key not in the block's sorted key set =>
@@ -182,6 +198,7 @@ _VARIANT_BASE = {
     # the comparison checks the engine's map encode/prune/decode against
     # DuckDB evaluating the same semantics on the untouched source
     "propsmap": lambda table: table,
+    "smap": lambda table: table,
     "keymap": lambda table: table,
     "toks": lambda table: (
         "(SELECT doc_id, text, lang, source, n_chars, "
@@ -382,6 +399,18 @@ _SPECS: dict[str, tuple] = {
         ["event_id", "user_id"],
         "propsmap",
         _events_props_map,
+    ),
+    # map nested INSIDE a struct: dotted wrap.props path to per-key stats
+    "events_struct_map_eq": (
+        "events",
+        _EV_SORT,
+        col("wrap.props").map_key(
+            "k", sql_expr="CAST(json_extract_string(props, '$.k') AS BIGINT)"
+        )
+        < 15,
+        ["event_id", "user_id"],
+        "smap",
+        _events_struct_map,
     ),
     # map KEY-ABSENCE predicate: map keyed by event_type, blocks sorted on
     # event_type => non-'click' blocks are definitely-false via the key set
