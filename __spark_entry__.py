@@ -555,6 +555,61 @@ def _ds_where_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate for the multimodal path: build REAL WAV payloads
+    (PCM16 sine, frequency keyed by each document), decode them with the
+    pure-numpy WAV parser inside the distributed feature UDF, and project
+    scalar feature summaries. No oracle — DuckDB has no media decode; the
+    exact-pixel/sample contracts live in tests/test_dataops.py."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from aisle_spark.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+
+    def to_wav(batches):
+        for b in batches:
+            payloads = []
+            for n_chars in b["n_chars"]:
+                rate, n = 8000, 256
+                freq = 200.0 + float(n_chars % 500)
+                t = np.arange(n) / rate
+                pcm = (np.sin(2 * np.pi * freq * t) * 18000).astype("<i2")
+                data = pcm.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].astype(str),
+                    "kind": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        to_wav, "media_id string, kind string, payload binary"
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("feat_norm"),
+    )
+
+
 _DS_QUERIES = {
     "datasource_pushdown_scan": (
         _ds_pushdown_query,
@@ -588,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _dataop_query(name)
     for name, (fn, _sql) in _DS_QUERIES.items():
         out[name] = fn
+    out["multimodal_wav_features"] = _multimodal_features_query
     return out
 
 
