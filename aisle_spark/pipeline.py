@@ -691,7 +691,10 @@ def _rebuild_manifest(out_path: str, in_schema: pa.Schema, fs=None) -> list[str]
     manifest: dict = {"files": committed}
     if committed:
         # per-file [min,max] bounds: the manifest-list pruning tier the
-        # data source plans with (datasource.file_keep)
+        # data source plans with (datasource.file_keep). One projected
+        # DuckDB aggregate over the stat columns, once per JOB (not per
+        # input commit) — at 10^5 files this is the same footer-sized
+        # metadata pass the planning side performs
         from aisle_spark.maintenance import _recompute_file_stats
 
         manifest["file_stats"] = _recompute_file_stats(
