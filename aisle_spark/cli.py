@@ -146,8 +146,11 @@ def cmd_compact(args) -> None:
     )
     print(summary)
     if args.vacuum and not summary.get("skipped"):
+        from aisle_spark.maintenance import expire_snapshots
+
+        expired = expire_snapshots(args.table, keep_last=args.keep_snapshots)
         removed = vacuum_encoded(args.table, min_age_seconds=args.min_age)
-        print(f"vacuumed {len(removed)} files")
+        print(f"expired {len(expired)} snapshots, vacuumed {len(removed)} files")
     spark.stop()
 
 
@@ -239,6 +242,8 @@ def main(argv: list[str] | None = None) -> None:
                    help="delete the replaced files after the commit")
     c.add_argument("--min-age", type=float, default=600.0,
                    help="vacuum grace seconds protecting in-flight writers")
+    c.add_argument("--keep-snapshots", type=int, default=10,
+                   help="with --vacuum: retain this many newest snapshots")
     c.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("vacuum", help="delete unreferenced data files")

@@ -181,20 +181,26 @@ def _exists(fs, path: str) -> bool:
     return fs.get_file_info(path).type != pafs.FileType.NotFound
 
 
-def _manifest_of(fs, path: str) -> tuple[list[str], dict]:
-    """(full file paths, per-file stats keyed by full path)."""
-    from aisle_spark.pipeline import _fs_list, _fs_read_json
+def _manifest_of(
+    fs, path: str, version: int | None = None
+) -> tuple[list[str], dict]:
+    """(full file paths, per-file stats keyed by full path); ``version``
+    pins a committed snapshot (time travel)."""
+    from aisle_spark.pipeline import _fs_list, _fs_read_json, read_snapshot
 
     root = path.rstrip("/")
-    manifest = f"{root}/{_FILES_MANIFEST}"
-    if _exists(fs, manifest):
+    if version is not None:
+        m = read_snapshot(fs, root, version)
+    else:
+        manifest = f"{root}/{_FILES_MANIFEST}"
+        if not _exists(fs, manifest):
+            return [p for p, _size in _fs_list(fs, path, ".parquet")], {}
         m = _fs_read_json(fs, manifest)
-        stats = m.get("file_stats", {})
-        return (
-            [f"{root}/{f}" for f in m["files"]],
-            {f"{root}/{k}": v for k, v in stats.items()},
-        )
-    return [p for p, _size in _fs_list(fs, path, ".parquet")], {}
+    stats = m.get("file_stats", {})
+    return (
+        [f"{root}/{f}" for f in m["files"]],
+        {f"{root}/{k}": v for k, v in stats.items()},
+    )
 
 
 def _committed_files(fs, path: str) -> list[str]:
@@ -261,7 +267,9 @@ def _project_schema(arrow: pa.Schema, columns: list[str] | None) -> pa.Schema:
 
 class AisleReader(DataSourceReader):
     def __init__(self, path: str, where: str | None = None,
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 version: int | None = None):
+        self.version = version
         self.fs, self.path = _fs_of(path)
         self.arrow_schema = _read_sidecar_schema(self.fs, self.path)
         self.out_schema = _project_schema(self.arrow_schema, columns)
@@ -289,7 +297,7 @@ class AisleReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[AislePartition]:
-        files, fstats = _manifest_of(self.fs, self.path)
+        files, fstats = _manifest_of(self.fs, self.path, self.version)
         prune = self._prune_spec()
         if prune is None or not files:
             return [AislePartition(f, None) for f in files]
@@ -767,9 +775,12 @@ class AisleWriter(DataSourceArrowWriter):
                 files = sorted(set(old["files"]) | set(files))
                 fstats = {**old.get("file_stats", {}), **fstats}
             # local: tmp + atomic rename; object store: one atomic PUT —
-            # the same commit discipline as the direct-write encode
-            _fs_write_json(
-                self.fs, manifest, {"files": files, "file_stats": fstats}
+            # the same commit discipline as the direct-write encode; every
+            # commit also publishes an immutable snapshot (time travel)
+            from aisle_spark.pipeline import publish_manifest
+
+            publish_manifest(
+                self.fs, self.path, {"files": files, "file_stats": fstats}
             )
         _write_schema_sidecar(self.path, self._arrow_schema(), fs=self.fs)
 
@@ -807,6 +818,10 @@ class AisleDataSource(DataSource):
       Ordinary ``.filter()`` predicates are pushed down automatically —
       this option exists for predicate shapes Spark cannot push (IN over
       many values survives, BETWEEN, LIKE patterns, OR trees).
+    * ``versionAsOf`` — read path: pin a committed manifest snapshot
+      (every write/append/compaction/stream-batch publishes one) — time
+      travel for reproducible training runs; vacuum never deletes files a
+      retained snapshot references (expire_snapshots retires them).
     * ``columns`` — read path: comma-separated projection; only these
       payloads decode (the Python DataSource contract has no
       column-pruning pushdown, so projection is an option, like
@@ -844,10 +859,12 @@ class AisleDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> AisleReader:
+        v = self.options.get("versionasof")
         return AisleReader(
             self._path(),
             where=self.options.get("where"),
             columns=self._columns(),
+            version=int(v) if v else None,
         )
 
     def streamReader(self, schema: StructType) -> AisleStreamReader:

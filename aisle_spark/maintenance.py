@@ -116,7 +116,9 @@ def compact_encoded(
             # streaming-sink tables: retire the per-batch map — all
             # history is now represented by the compacted file set
             payload["batches"] = {}
-        _fs_write_json(fs, manifest, payload)
+        from aisle_spark.pipeline import publish_manifest
+
+        publish_manifest(fs, root, payload)
     return {
         "files_before": len(files),
         "files_after": len(new_files),
@@ -196,9 +198,15 @@ def vacuum_encoded(
     writes its data file BEFORE the manifest commit, so an unreferenced
     file younger than the grace window is skipped (same discipline as
     lakehouse VACUUM retention). Set 0 only when no writer can be live."""
+    from aisle_spark.pipeline import list_snapshots, read_snapshot
+
     fs, root = _fs_of(path)
     root = root.rstrip("/")
     keep = set(_fs_read_json(fs, f"{root}/{_MANIFEST}")["files"])
+    # time travel: every RETAINED snapshot's files stay readable — expire
+    # snapshots first if you want their files collected
+    for v in list_snapshots(fs, root):
+        keep.update(read_snapshot(fs, root, v)["files"])
     victims: list[str] = []
     entries = list(_fs_list(fs, root, ".parquet"))
     if fs is None:
@@ -253,3 +261,41 @@ def vacuum_encoded(
             except OSError:
                 pass
     return sorted(victims)
+
+
+def snapshots(path: str) -> list[dict]:
+    """Committed manifest versions, oldest first: [{version, n_files}]."""
+    from aisle_spark.pipeline import list_snapshots, read_snapshot
+
+    fs, root = _fs_of(path)
+    root = root.rstrip("/")
+    return [
+        {"version": v, "n_files": len(read_snapshot(fs, root, v)["files"])}
+        for v in list_snapshots(fs, root)
+    ]
+
+
+def expire_snapshots(path: str, keep_last: int = 10) -> list[int]:
+    """Delete snapshot files older than the newest ``keep_last`` (the
+    retention knob of the time-travel surface). Data files they referenced
+    become collectible by the NEXT ``vacuum_encoded``. Never touches the
+    current manifest."""
+    import os
+
+    from aisle_spark.pipeline import _SNAP_DIR, list_snapshots, manifest_lock
+
+    fs, root = _fs_of(path)
+    root = root.rstrip("/")
+    with manifest_lock(fs, root):
+        versions = list_snapshots(fs, root)
+        victims = versions[:-keep_last] if keep_last > 0 else versions
+        for v in victims:
+            target = f"{root}/{_SNAP_DIR}/v{v:08d}.json"
+            try:
+                if fs is None:
+                    os.remove(target)
+                else:
+                    fs.delete_file(target)
+            except OSError:
+                pass
+    return victims

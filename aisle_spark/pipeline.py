@@ -420,6 +420,42 @@ def manifest_lock(fs, root: str):
             fcntl.flock(fh, fcntl.LOCK_UN)
 
 
+_SNAP_DIR = "_aisle_snapshots"
+
+
+def list_snapshots(fs, root: str) -> list[int]:
+    """Committed manifest versions, ascending."""
+    out = []
+    for p, _sz in _fs_list(fs, f"{root.rstrip('/')}/{_SNAP_DIR}", ".json"):
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith("v") and name[1:-5].isdigit():
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def read_snapshot(fs, root: str, version: int) -> dict:
+    return _fs_read_json(
+        fs, f"{root.rstrip('/')}/{_SNAP_DIR}/v{version:08d}.json"
+    )
+
+
+def publish_manifest(fs, root: str, payload: dict) -> int:
+    """The ONE manifest commit point: write ``_aisle_files.json`` AND an
+    immutable numbered snapshot of the same payload — time travel for
+    training-data reproducibility (readers pin ``versionAsOf``; vacuum
+    keeps every file any retained snapshot references). Callers hold
+    ``manifest_lock`` where concurrent writers exist, which also
+    serializes version numbering. Returns the new version."""
+    root = root.rstrip("/")
+    versions = list_snapshots(fs, root)
+    version = (versions[-1] + 1) if versions else 1
+    payload = dict(payload, version=version)
+    _fs_mkdirs(fs, f"{root}/{_SNAP_DIR}")
+    _fs_write_json(fs, f"{root}/{_SNAP_DIR}/v{version:08d}.json", payload)
+    _fs_write_json(fs, f"{root}/_aisle_files.json", payload)
+    return version
+
+
 def _fs_read_json(fs, path: str):
     import json as _json
 
@@ -700,7 +736,8 @@ def _rebuild_manifest(out_path: str, in_schema: pa.Schema, fs=None) -> list[str]
         manifest["file_stats"] = _recompute_file_stats(
             fs, out_path.rstrip("/"), committed
         )
-    _fs_write_json(fs, f"{out_path.rstrip('/')}/_aisle_files.json", manifest)
+    with manifest_lock(fs, out_path):
+        publish_manifest(fs, out_path, manifest)
     # sidecar records the ORIGINAL (possibly nested) schema — scan derives
     # the flat leaf specs from it
     in_arrow = pa.schema([f for f in in_schema if not f.name.startswith("_")])
@@ -1062,16 +1099,17 @@ def write_encoded(blocks: DataFrame, path: str, schema: pa.Schema, mode: str = "
     )
     from aisle_spark.maintenance import _recompute_file_stats
 
-    _fs_write_json(
-        None,
-        _os.path.join(path, "_aisle_files.json"),
-        {
-            "files": files,
-            "file_stats": _recompute_file_stats(None, path.rstrip("/"), files)
-            if files
-            else {},
-        },
-    )
+    with manifest_lock(None, path):
+        publish_manifest(
+            None,
+            path,
+            {
+                "files": files,
+                "file_stats": _recompute_file_stats(None, path.rstrip("/"), files)
+                if files
+                else {},
+            },
+        )
 
 
 def _write_schema_sidecar(path: str, schema: pa.Schema, fs=None) -> None:

@@ -76,10 +76,9 @@ def _commit_batch_locked(out_path: str, batch_id: int, files: list[str]) -> None
 
         stats.update(_recompute_file_stats(None, out_path.rstrip("/"), files))
     m["file_stats"] = stats
-    tmp = _manifest_path(out_path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(m, fh)
-    os.replace(tmp, _manifest_path(out_path))
+    from aisle_spark.pipeline import publish_manifest
+
+    publish_manifest(None, out_path, m)
 
 
 def encode_stream(

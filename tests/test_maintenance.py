@@ -85,9 +85,12 @@ class TestCompact:
 
 class TestVacuum:
     def test_vacuum_removes_only_unreferenced(self, spark, small_files_table):
+        from aisle_spark.maintenance import expire_snapshots
+
         df, out = small_files_table
         old_files = _manifest(out)["files"]
         compact_encoded(spark, out, target_files=2)
+        expire_snapshots(out, keep_last=1)  # release historical references
         victims = vacuum_encoded(out, dry_run=True, min_age_seconds=0)
         assert set(victims) == set(old_files)
         removed = vacuum_encoded(out, min_age_seconds=0)
@@ -150,8 +153,60 @@ def test_manifest_lock_serializes_read_modify_write(tmp_path):
 def test_vacuum_grace_protects_fresh_files(spark, small_files_table):
     """Default grace window: files younger than min_age are never deleted
     (they may belong to an in-flight, not-yet-committed writer)."""
+    from aisle_spark.maintenance import expire_snapshots
+
     _df, out = small_files_table
     old_files = _manifest(out)["files"]
     compact_encoded(spark, out, target_files=2)
+    expire_snapshots(out, keep_last=1)
     assert vacuum_encoded(out, dry_run=True) == []  # all fresh: protected
     assert set(vacuum_encoded(out, dry_run=True, min_age_seconds=0)) == set(old_files)
+
+
+class TestTimeTravel:
+    def test_version_as_of_reads_history(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "tt")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(51, 900)]))
+        df.limit(300).write.format("aisle").mode("append").save(out)   # v1
+        df.write.format("aisle").mode("overwrite").save(out)           # v2
+        from aisle_spark.maintenance import compact_encoded, snapshots
+
+        compact_encoded(spark, out, target_files=1)                    # v3
+        versions = [s["version"] for s in snapshots(out)]
+        assert versions == [1, 2, 3]
+        v1 = spark.read.format("aisle").option("versionAsOf", "1").load(out)
+        v2 = spark.read.format("aisle").option("versionAsOf", "2").load(out)
+        cur = spark.read.format("aisle").load(out)
+        assert v1.count() == 300
+        assert v2.count() == cur.count() == df.count()
+        # pushdown still applies on a pinned version
+        assert (
+            v2.filter(F.col("source") == "web").count()
+            == df.filter("source = 'web'").count()
+        )
+
+    def test_vacuum_respects_snapshots_until_expired(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "tt2")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(52, 600)]))
+        df.write.format("aisle").mode("append").save(out)              # v1
+        from aisle_spark.maintenance import (
+            compact_encoded,
+            expire_snapshots,
+            vacuum_encoded,
+        )
+
+        old_files = _manifest(out)["files"]
+        compact_encoded(spark, out, target_files=1)                    # v2
+        # v1 still references the old files: vacuum must keep them
+        assert vacuum_encoded(out, dry_run=True, min_age_seconds=0) == []
+        v1 = spark.read.format("aisle").option("versionAsOf", "1").load(out)
+        assert v1.count() == df.count()
+        expired = expire_snapshots(out, keep_last=1)
+        assert expired == [1]
+        removed = vacuum_encoded(out, min_age_seconds=0)
+        assert set(removed) == set(old_files)
+        assert spark.read.format("aisle").load(out).count() == df.count()
