@@ -626,6 +626,18 @@ _DS_QUERIES = {
         "SELECT doc_id, source, n_chars FROM documents "
         "WHERE source = 'src7' AND n_chars <= 400",
     ),
+    # time travel: version 1 is the initial full append and stays readable
+    # (and prunable) after any later compaction rewrites the current set
+    "datasource_time_travel_scan": (
+        lambda spark, sf_dir: (
+            spark.read.format("aisle")
+            .option("versionAsOf", "1")
+            .load(_ds_dir(spark, sf_dir))
+            .filter(F.col("n_chars") > 450)
+            .select("doc_id", "n_chars")
+        ),
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
+    ),
 }
 
 
