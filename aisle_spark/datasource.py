@@ -492,12 +492,14 @@ class AisleStreamReader(DataSourceStreamReader):
     become visible atomically at manifest rename, so an offset is a
     consistent snapshot by construction.
 
-    Offsets are the SET of committed file names (a recursive dict, as the
-    DataSource offset contract requires) — robust to the manifest being
-    kept sorted rather than append-ordered. At very large file counts
-    offsets grow with the table; compact retired batches out of the
-    manifest (the streaming sink's ``batches`` map supports this) before
-    that becomes a concern.
+    Offsets are SNAPSHOT VERSIONS (constant-size, immutable replay): a
+    fresh stream's first batch loads the current snapshot's file set, and
+    every later batch emits each new version's file-set delta — with
+    compaction commits contributing NOTHING, since their files carry only
+    already-emitted rows (filename-diff offsets would re-emit the whole
+    table after OPTIMIZE). Snapshot retention must outlive active streams
+    (expire_snapshots); a violated retention fails loudly, never
+    duplicates or drops.
 
     The ``where``/``columns`` options apply per micro-batch through the
     same `_decode_file` engine as the batch reader."""
@@ -515,28 +517,62 @@ class AisleStreamReader(DataSourceStreamReader):
             _validate_exact_where(self.exact_where, self.arrow_schema)
 
     def initialOffset(self) -> dict:
-        return {"seen": {}}
+        return {"version": 0}
 
     def latestOffset(self) -> dict:
-        root = self.path.rstrip("/") + "/"
-        return {
-            "seen": {
-                (f[len(root):] if f.startswith(root) else f): True
-                for f in _committed_files(self.fs, self.path)
-            }
-        }
+        from aisle_spark.pipeline import list_snapshots
+
+        versions = list_snapshots(self.fs, self.path.rstrip("/"))
+        return {"version": versions[-1] if versions else 0}
+
+    def _new_files(self, start_v: int, end_v: int) -> tuple[list[str], dict]:
+        """Manifest-relative files a stream must emit for (start_v, end_v],
+        plus the newest snapshot's file_stats. Version 0 start = initial
+        load of the END snapshot's CURRENT file set (so fresh streams over
+        compacted/vacuumed tables read exactly the live data); afterwards
+        each version contributes its file-set delta, and compaction
+        commits contribute NOTHING (their files carry only already-
+        emitted rows — the re-emit footgun of filename-based offsets)."""
+        from aisle_spark.pipeline import read_snapshot
+
+        root = self.path.rstrip("/")
+        if end_v <= start_v:
+            return [], {}
+        end_snap = read_snapshot(self.fs, root, end_v)
+        stats = end_snap.get("file_stats", {})
+        if start_v == 0:
+            return list(end_snap["files"]), stats
+        out: list[str] = []
+        try:
+            prev = set(read_snapshot(self.fs, root, start_v)["files"])
+        except (FileNotFoundError, OSError):
+            raise RuntimeError(
+                f"stream offset snapshot v{start_v} was expired while the "
+                "stream was reading it — expire_snapshots retention must "
+                "outlive active streams"
+            ) from None
+        for v in range(start_v + 1, end_v + 1):
+            snap = read_snapshot(self.fs, root, v)
+            cur = set(snap["files"])
+            if "compacted_from" not in snap:
+                out.extend(sorted(cur - prev))
+            prev = cur
+        return out, stats
 
     def partitions(self, start: dict, end: dict) -> Sequence[AislePartition]:
-        new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
-        parts = [
-            AislePartition(f"{self.path.rstrip('/')}/{f}", None) for f in new
-        ]
+        new, fstats = self._new_files(
+            int(start.get("version", 0)), int(end.get("version", 0))
+        )
+        root = self.path.rstrip("/")
+        parts = [AislePartition(f"{root}/{f}", None) for f in new]
         if self.exact_where is not None and parts:
             # manifest-list pruning per micro-batch: whole new files drop
             # on their [min,max] bounds when the where option excludes them
-            _files, fstats = _manifest_of(self.fs, self.path)
+            full_stats = {f"{root}/{k}": v for k, v in fstats.items()}
             parts = [
-                p for p in parts if file_keep(fstats.get(p.path), self.exact_where)
+                p
+                for p in parts
+                if file_keep(full_stats.get(p.path), self.exact_where)
             ]
         return parts
 

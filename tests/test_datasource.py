@@ -594,3 +594,43 @@ class TestFileLevelPruning:
         assert got.count() == df.filter(
             "source IN ('books','web','code')"
         ).count()
+
+
+def test_stream_not_reemitted_by_compaction(spark, tmp_path):
+    """Snapshot-version offsets: OPTIMIZE between micro-batches must not
+    re-emit already-streamed rows (filename-diff offsets would)."""
+    from pyspark.sql import functions as F
+
+    from aisle_spark.maintenance import compact_encoded
+
+    register(spark)
+    out = str(tmp_path / "sc")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(pa.Table.from_batches([synth_batch(55, 500)]))
+    for i in range(3):
+        df.filter(F.crc32(F.col("doc_id")) % 3 == i).write.format("aisle").mode(
+            "append"
+        ).save(out)
+
+    def run_once():
+        q = (
+            spark.readStream.format("aisle")
+            .load(out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == df.count()
+    compact_encoded(spark, out, target_files=1)
+    run_once()  # compaction emitted a new snapshot: nothing new to stream
+    assert spark.read.parquet(sink).count() == df.count()
+    extra = df.limit(40).withColumn("doc_id", F.concat(F.lit("n-"), F.col("doc_id")))
+    extra.write.format("aisle").mode("append").save(out)
+    run_once()
+    assert spark.read.parquet(sink).count() == df.count() + 40
