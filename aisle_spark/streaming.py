@@ -65,7 +65,13 @@ def _commit_batch_locked(out_path: str, batch_id: int, files: list[str]) -> None
     m = _read_manifest(out_path)
     replaced = set(m["batches"].get(str(batch_id), []))
     m["batches"][str(batch_id)] = files
-    m["files"] = sorted(f for fs in m["batches"].values() for f in fs)
+    # files = non-batch files (compaction retires the batches map but its
+    # output files must survive subsequent batch commits — ADVICE r3 high)
+    # ∪ every live batch's files; a replayed batch replaces, never adds
+    batch_files = {f for fs in m["batches"].values() for f in fs}
+    m["files"] = sorted(
+        (set(m.get("files", [])) - replaced) | set(files) | batch_files
+    )
     stats = {
         k: v
         for k, v in m.get("file_stats", {}).items()

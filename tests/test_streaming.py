@@ -115,6 +115,50 @@ def test_replayed_batch_is_idempotent(spark, dirs):
     assert scan(blocks, schema).count() == n_before  # replaced, not appended
 
 
+def test_batch_commit_after_compaction_keeps_compacted_files(spark, dirs):
+    """A micro-batch committed AFTER compact_encoded on a streaming table
+    must preserve the compacted (non-batch) files in the manifest —
+    rebuilding 'files' from the batches map alone would silently drop all
+    pre-compaction rows (ADVICE r3 high)."""
+    src, out, ckp = dirs
+    _drop(src, "a.parquet", 0, 2000)
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string"
+        ).parquet(src)
+    )
+    q = encode_stream(stream, out, ckp, parts=2, block_rows=512)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from aisle_spark.maintenance import compact_encoded
+
+    compact_encoded(spark, out, target_files=1)
+    m = _read_manifest(out)
+    assert m["batches"] == {} and len(m["files"]) == 1
+    compacted = set(m["files"])
+
+    # next micro-batch arrives after the compaction
+    _drop(src, "b.parquet", 2000, 1000)
+    stream2 = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string"
+        ).parquet(src)
+    )
+    q2 = encode_stream(stream2, out, ckp, parts=2, block_rows=512)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    m = _read_manifest(out)
+    assert compacted <= set(m["files"])  # compacted history survives
+    blocks, schema = read_encoded(spark, out)
+    assert scan(blocks, schema).count() == 3000
+    # file_stats stay consistent with the file list
+    assert set(m["file_stats"]) <= set(m["files"])
+
+
 def test_stream_commits_record_file_stats(spark, dirs):
     """Streamed tables join the manifest-list pruning tier: each batch
     commit carries its files' [min,max] bounds, and the batch data source
