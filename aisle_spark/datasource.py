@@ -552,7 +552,17 @@ class AisleStreamReader(DataSourceStreamReader):
                 "outlive active streams"
             ) from None
         for v in range(start_v + 1, end_v + 1):
-            snap = read_snapshot(self.fs, root, v)
+            try:
+                snap = read_snapshot(self.fs, root, v)
+            except (FileNotFoundError, OSError):
+                # an INTERMEDIATE snapshot expired mid-stream must carry
+                # the same diagnostic as the start snapshot, not a raw
+                # FileNotFoundError (ADVICE r3 low)
+                raise RuntimeError(
+                    f"stream offset snapshot v{v} was expired while the "
+                    "stream was reading it — expire_snapshots retention "
+                    "must outlive active streams"
+                ) from None
             cur = set(snap["files"])
             if "compacted_from" not in snap:
                 out.extend(sorted(cur - prev))
@@ -608,22 +618,90 @@ class AisleCommit(WriterCommitMessage):
     stats: dict | None = None  # per-column [min, max] over the whole file
 
 
-# file-level stats cover the JSON-representable scalar kinds; every other
-# kind simply has no file-level evidence (Unknown => file kept)
-_FILE_STAT_KINDS = ("int", "float", "string")
+# file-level stats cover every orderable scalar kind with a JSON-safe
+# canonical encoding (the reference prunes all orderable leaves at its
+# coarsest granularity, src/prune/stats.rs:120-157, 365-410); binary is
+# the one deliberate gap (bytes have no faithful JSON form) => Unknown =>
+# file kept, always sound
+_FILE_STAT_KINDS = ("int", "float", "string", "timestamp", "duration", "decimal")
+
+
+def _json_stat_bound(v):
+    """One file-level stat bound -> its canonical JSON-safe encoding:
+    timestamp -> epoch-µs int (naive = UTC instant, the engine's storage
+    domain), date -> epoch-days int, duration -> µs int, decimal -> exact
+    string, float NaN -> None (Unknown — Spark orders NaN greatest, so a
+    lost NaN bound would wrongly prune ``x > v`` files; ADVICE r3
+    medium). Anything unrepresentable -> None = no evidence."""
+    import datetime as _dt
+    import decimal as _decimal
+    import math
+
+    v = v.item() if hasattr(v, "item") else v  # numpy -> python
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, _dt.timedelta):
+        return v // _dt.timedelta(microseconds=1)
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, (int, str)):
+        return v
+    return None
+
+
+def _file_domain_value(v):
+    """Predicate literal -> the manifest bound domain of
+    :func:`_json_stat_bound` so file_keep compares in-domain: datetime ->
+    epoch µs (naive literals get the same driver-tz instant Catalyst's
+    ``F.lit`` would produce), date -> epoch days, timedelta -> µs.
+    Decimal stays Decimal — string bounds parse back exactly."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        from aisle_spark.filterspec import _utc_value
+
+        u = _utc_value(v)
+        return (u - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, _dt.timedelta):
+        return v // _dt.timedelta(microseconds=1)
+    return v
 
 
 def _merge_file_stat(acc: dict, row: dict, cols: list[str]) -> None:
+    """Fold one block's [min,max] into the per-file accumulator, in the
+    stats' NATURAL domain (datetime/Decimal/... compare correctly there;
+    decimal strings would sort lexicographically). ``_json_stat_bound``
+    canonicalizes once, at commit time."""
+    import math
+
     for c in cols:
         mn, mx = row.get(f"{c}__min"), row.get(f"{c}__max")
-        mn = mn.item() if hasattr(mn, "item") else mn  # numpy -> JSON-safe
+        mn = mn.item() if hasattr(mn, "item") else mn
         mx = mx.item() if hasattr(mx, "item") else mx
+        # NaN bounds (deliberate: Spark orders NaN greatest) don't merge
+        # soundly through min()/max() — poison to Unknown like None
+        if isinstance(mn, float) and math.isnan(mn):
+            mn = None
+        if isinstance(mx, float) and math.isnan(mx):
+            mx = None
         cur = acc.get(c)
         if cur is None:
             acc[c] = [mn, mx]
             continue
-        # a None bound (all-null block / truncation overflow) poisons the
-        # file bound to None = Unknown on that side
+        # a None bound (all-null block / truncation overflow / NaN)
+        # poisons the file bound to None = Unknown on that side
         acc[c] = [
             None if (cur[0] is None or mn is None) else min(cur[0], mn),
             None if (cur[1] is None or mx is None) else max(cur[1], mx),
@@ -641,17 +719,26 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
     if not stats:
         return True
 
-    def rng(c):
+    def rng(c, value):
         v = stats.get(c)
         if not (isinstance(v, (list, tuple)) and len(v) == 2):
             return None, None
+        import decimal as _decimal
         import math
 
-        # NaN bounds (Spark orders NaN greatest) don't compare usefully in
-        # Python — degrade to Unknown on that side, always sound
-        return tuple(
-            None if isinstance(b, float) and math.isnan(b) else b for b in v
-        )
+        def side(b):
+            # NaN bounds (Spark orders NaN greatest) don't compare
+            # usefully in Python — degrade to Unknown, always sound
+            if isinstance(b, float) and math.isnan(b):
+                return None
+            # decimal bounds are stored as exact strings; parse back
+            # when the predicate compares decimals (a non-decimal string
+            # raises InvalidOperation => the outer guard keeps the file)
+            if isinstance(value, _decimal.Decimal) and isinstance(b, str):
+                return _decimal.Decimal(b)
+            return b
+
+        return side(v[0]), side(v[1])
 
     def conj_keep(node: Spec) -> bool:
         try:
@@ -664,7 +751,7 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
             if isinstance(node, StartsWith):
                 from aisle_spark.filterspec import next_prefix
 
-                mn, mx = rng(node.col)
+                mn, mx = rng(node.col, node.prefix)
                 if node.prefix == "":
                     return True
                 if mx is not None and mx < node.prefix:
@@ -675,8 +762,10 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
                 return True
             if not isinstance(node, Cmp):
                 return True
-            mn, mx = rng(node.col)
-            v = node.value
+            # compare in the manifest's JSON bound domain (epoch µs /
+            # epoch days / µs / Decimal) — see _json_stat_bound
+            v = _file_domain_value(node.value)
+            mn, mx = rng(node.col, v)
             if node.op == "eq":
                 return (mn is None or mn <= v) and (mx is None or mx >= v)
             if node.op == "lt":
@@ -688,8 +777,10 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
             if node.op == "ge":
                 return mx is None or mx >= v
             return True  # ne: file-level bounds cannot exclude (nulls unknown)
-        except TypeError:
-            return True  # cross-domain comparison: no evidence
+        except (TypeError, ArithmeticError):
+            # cross-domain comparison / unparseable decimal string
+            # (decimal.InvalidOperation is an ArithmeticError): no evidence
+            return True
 
     conjuncts = spec.parts if isinstance(spec, And) else [spec]
     return all(conj_keep(c) for c in conjuncts)
@@ -786,7 +877,14 @@ class AisleWriter(DataSourceArrowWriter):
         finally:
             if writer is not None:
                 writer.close()
-        return AisleCommit(filename=name, n_blocks=n_blocks, stats=fstats)
+        json_stats = {
+            c: [_json_stat_bound(v[0]), _json_stat_bound(v[1])]
+            for c, v in fstats.items()
+        }
+        json_stats = {
+            c: v for c, v in json_stats.items() if v[0] is not None or v[1] is not None
+        }
+        return AisleCommit(filename=name, n_blocks=n_blocks, stats=json_stats)
 
     def commit(self, messages: list[AisleCommit]) -> None:
         from aisle_spark.pipeline import (

@@ -147,8 +147,17 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
     if not cols:
         return {}
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    # NULL-poisoned aggregation: a NULL block bound means Unknown (all-null
+    # block, or a truncation-overflow string __max whose real values lie
+    # ABOVE any representable bound) — plain min/max would silently skip
+    # it and produce too-tight file bounds that wrongly prune (ADVICE r3
+    # low). Matches the write path's _merge_file_stat poisoning exactly.
     aggs = ", ".join(
-        f'min("{c}__min") AS "mn_{i}", max("{c}__max") AS "mx_{i}"'
+        f'CASE WHEN count(*) <> count("{c}__min") THEN NULL '
+        f'ELSE min("{c}__min") END AS "mn_{i}", '
+        f'CASE WHEN count(*) <> count("{c}__max") THEN NULL '
+        f'ELSE max("{c}__max") END AS "mx_{i}"'
         for i, c in enumerate(cols)
     )
     if fs is None:
@@ -174,13 +183,20 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
             f"SELECT filename, {aggs} FROM stats_tbl GROUP BY filename"
         ).fetchall()
         rel_of = {f: f for f in rel_files}
+    from aisle_spark.datasource import _json_stat_bound
+
     out: dict = {}
     for row in rows:
         rel = rel_of.get(row[0], row[0])
         stats = {}
         for i, c in enumerate(cols):
-            mn, mx = row[1 + 2 * i], row[2 + 2 * i]
-            if isinstance(mn, (int, float, str)) and isinstance(mx, (int, float, str)):
+            # canonical JSON encoding shared with the AisleWriter commit
+            # path (timestamp -> epoch µs, date -> epoch days, duration ->
+            # µs, decimal -> exact string, NaN -> None); one-sided bounds
+            # still prune (file_keep treats None as Unknown per side)
+            mn = _json_stat_bound(row[1 + 2 * i])
+            mx = _json_stat_bound(row[2 + 2 * i])
+            if mn is not None or mx is not None:
                 stats[c] = [mn, mx]
         if stats:
             out[rel] = stats

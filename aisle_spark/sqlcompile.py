@@ -31,7 +31,7 @@ Accepted predicate grammar (a strict subset of Spark SQL / DuckDB SQL):
               | map_extract '(' ident ',' string ')' '[' 1 ']'      -> map key
               | lit
     lit      := number | string | TRUE|FALSE | DATE '...' | TIMESTAMP '...'
-              | INTERVAL n MICROSECONDS | string '::BLOB'
+              | INTERVAL n MICROSECONDS|SECONDS|MINUTES|... | string '::BLOB'
 """
 
 from __future__ import annotations
@@ -290,12 +290,22 @@ class _Parser:
             if t == "(":
                 self.next()
             n = int(self.next())
-            unit = self.next().upper()
-            if unit not in ("MICROSECOND", "MICROSECONDS"):
-                raise SqlCompileError(f"only MICROSECONDS intervals, got {unit}")
+            unit = self.next().upper().rstrip("S") + "S"
+            us_per = {
+                "MICROSECONDS": 1,
+                "MILLISECONDS": 1_000,
+                "SECONDS": 1_000_000,
+                "MINUTES": 60_000_000,
+                "HOURS": 3_600_000_000,
+                "DAYS": 86_400_000_000,
+            }.get(unit)
+            if us_per is None:
+                raise SqlCompileError(
+                    f"unsupported interval unit {unit} (day-time units only)"
+                )
             if t == "(":
                 self.expect(")")
-            return _dt.timedelta(microseconds=n)
+            return _dt.timedelta(microseconds=n * us_per)
         try:
             return int(t)
         except ValueError:
