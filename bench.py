@@ -475,34 +475,59 @@ def main() -> None:
             )
 
     steal = _steal_pct(cpu0, _cpu_sample())
-    print(
-        json.dumps(
-            {
-                "metric": "encode_tokens_per_sec",
-                "value": round(tps),
-                "unit": "tokens/sec",
-                "sf": sf,
-                "queries": queries,
-                "rows": rows,
-                "total_tokens": int(total_tokens),
-                "compression": {
-                    "encoded_bytes": ours_bytes,
-                    "parquet_zstd_bytes": ref_bytes,
-                    "ratio_vs_zstd": round(ours_bytes / ref_bytes, 4),
-                },
-                "pruning": {
-                    "blocks_total": n_blocks,
-                    "kept_source_eq": kept_eq,
-                    "kept_range_and_eq": kept_range,
-                },
-                "scaling": scaling_out,
-                "env": {
-                    "cpu_steal_pct_during_run": steal,
-                    "note": "shared-hypervisor sandbox; steal >5% inflates every wall time — compare runs at similar steal",
-                },
-            }
-        )
-    )
+
+    # the driver captures only a short tail of stdout, so the FINAL line
+    # must stay compact (<~1500 chars; VERDICT r3 wrong #1): headline +
+    # per-query walls + compression + pruning + 4 scalar scaling numbers.
+    # Per-run arrays, per-stage tables and platform probes go to a
+    # timestamped BENCH/ sidecar file instead.
+    scaling_slim: dict = {}
+    for k in (
+        "efficiency_2_to_8",
+        "efficiency_8_to_32",
+        "efficiency_8_to_32_vs_mem_ceiling",
+    ):
+        if scaling_out.get(k) is not None:
+            scaling_slim[k] = scaling_out[k]
+    co = scaling_out.get("compute_only", {}).get("efficiency_8_to_32")
+    if co is not None:
+        scaling_slim["compute_only_8_to_32"] = co
+
+    summary = {
+        "metric": "encode_tokens_per_sec",
+        "value": round(tps),
+        "unit": "tokens/sec",
+        "sf": sf,
+        "queries": queries,
+        "rows": rows,
+        "total_tokens": int(total_tokens),
+        "compression": {
+            "encoded_bytes": ours_bytes,
+            "parquet_zstd_bytes": ref_bytes,
+            "ratio_vs_zstd": round(ours_bytes / ref_bytes, 4),
+        },
+        "pruning": {
+            "blocks_total": n_blocks,
+            "kept_source_eq": kept_eq,
+            "kept_range_and_eq": kept_range,
+        },
+        "scaling": scaling_slim,
+        "env": {"cpu_steal_pct_during_run": steal},
+    }
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    detail_rel = f"BENCH/bench_detail_{time.strftime('%Y%m%dT%H%M%S')}.json"
+    with open(os.path.join(repo, detail_rel), "w") as fh:
+        json.dump({**summary, "scaling_detail": scaling_out}, fh, indent=1)
+    summary["detail"] = detail_rel
+
+    line = json.dumps(summary)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
+        summary.pop("queries", None)
+        summary["truncated"] = "queries moved to detail sidecar"
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":
