@@ -302,13 +302,27 @@ def expire_snapshots(path: str, keep_last: int = 10) -> list[int]:
     current manifest."""
     import os
 
-    from aisle_spark.pipeline import _SNAP_DIR, list_snapshots, manifest_lock
+    from aisle_spark.pipeline import (
+        _SNAP_DIR,
+        _fs_write_json,
+        list_snapshots,
+        manifest_lock,
+        read_snapshot,
+    )
 
     fs, root = _fs_of(path)
     root = root.rstrip("/")
     with manifest_lock(fs, root):
         versions = list_snapshots(fs, root)
         victims = versions[:-keep_last] if keep_last > 0 else versions
+        if victims and keep_last > 0 and len(versions) > keep_last:
+            # the oldest RETAINED snapshot may be a delta whose chain
+            # passes through the victims; materialize it as a full
+            # snapshot first (equivalent content, atomic replace) so
+            # every retained chain stops at or after the boundary
+            boundary = versions[-keep_last]
+            snap = read_snapshot(fs, root, boundary)
+            _fs_write_json(fs, f"{root}/{_SNAP_DIR}/v{boundary:08d}.json", snap)
         for v in victims:
             target = f"{root}/{_SNAP_DIR}/v{v:08d}.json"
             try:

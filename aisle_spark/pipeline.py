@@ -433,15 +433,95 @@ def list_snapshots(fs, root: str) -> list[int]:
     return sorted(out)
 
 
+# every Nth snapshot is written FULL; the ones between are deltas against
+# their immediate predecessor. Bounds snapshot-commit bytes to O(changed
+# files) instead of O(table files) — at 10^5 files an append of one file
+# was rewriting the whole list every commit — while read_snapshot replays
+# at most _SNAP_FULL_EVERY-1 consecutive deltas (all footer-sized reads)
+_SNAP_FULL_EVERY = 16
+
+
 def read_snapshot(fs, root: str, version: int) -> dict:
-    return _fs_read_json(
-        fs, f"{root.rstrip('/')}/{_SNAP_DIR}/v{version:08d}.json"
-    )
+    """Materialize one committed manifest version. Delta snapshots replay
+    forward from the nearest full ancestor (chains are strictly
+    consecutive, so the walk is bounded by _SNAP_FULL_EVERY). A missing
+    file anywhere in the chain raises FileNotFoundError exactly like a
+    missing full snapshot — retention violations stay loud."""
+    root = root.rstrip("/")
+    snap = _fs_read_json(fs, f"{root}/{_SNAP_DIR}/v{version:08d}.json")
+    chain = []
+    while "delta_base" in snap:
+        chain.append(snap)
+        snap = _fs_read_json(
+            fs, f"{root}/{_SNAP_DIR}/v{snap['delta_base']:08d}.json"
+        )
+    payload = snap
+    for d in reversed(chain):
+        files = (set(payload.get("files", [])) - set(d["del_files"])) | set(
+            d["add_files"]
+        )
+        dropped = set(d["del_stats"]) | set(d["del_files"])
+        stats = {
+            k: v
+            for k, v in payload.get("file_stats", {}).items()
+            if k not in dropped
+        }
+        stats.update(d["set_stats"])
+        payload = {
+            "version": d["version"],
+            "files": sorted(files),
+            "file_stats": stats,
+            **d.get("extras", {}),
+        }
+    return payload
+
+
+def _snapshot_payload(fs, root: str, payload: dict, version: int) -> dict:
+    """The bytes actually persisted for snapshot ``version``: the full
+    payload on the periodic checkpoints (and whenever the delta would not
+    be smaller — e.g. compaction rewrites the whole file set), otherwise
+    a delta against version-1 as read from the CURRENT manifest. Any
+    lineage surprise degrades to full — always correct, never smaller."""
+    import json as _json
+
+    if version == 1 or version % _SNAP_FULL_EVERY == 1:
+        return payload
+    try:
+        prev = _fs_read_json(fs, f"{root}/_aisle_files.json")
+    except (FileNotFoundError, OSError):
+        return payload
+    if prev.get("version") != version - 1:
+        return payload
+    old_files = set(prev.get("files", []))
+    new_files = set(payload.get("files", []))
+    old_stats = prev.get("file_stats", {})
+    new_stats = payload.get("file_stats", {})
+    delta = {
+        "version": version,
+        "delta_base": version - 1,
+        "add_files": sorted(new_files - old_files),
+        "del_files": sorted(old_files - new_files),
+        "set_stats": {
+            k: v for k, v in new_stats.items() if old_stats.get(k) != v
+        },
+        "del_stats": sorted(
+            k for k in old_stats if k not in new_stats and k in new_files
+        ),
+        "extras": {
+            k: v
+            for k, v in payload.items()
+            if k not in ("version", "files", "file_stats")
+        },
+    }
+    if len(_json.dumps(delta)) >= len(_json.dumps(payload)):
+        return payload
+    return delta
 
 
 def publish_manifest(fs, root: str, payload: dict) -> int:
-    """The ONE manifest commit point: write ``_aisle_files.json`` AND an
-    immutable numbered snapshot of the same payload — time travel for
+    """The ONE manifest commit point: write ``_aisle_files.json`` (always
+    FULL — current-state readers pay one read) AND an immutable numbered
+    snapshot (full or delta, see _snapshot_payload) — time travel for
     training-data reproducibility (readers pin ``versionAsOf``; vacuum
     keeps every file any retained snapshot references). Callers hold
     ``manifest_lock`` where concurrent writers exist, which also
@@ -451,7 +531,8 @@ def publish_manifest(fs, root: str, payload: dict) -> int:
     version = (versions[-1] + 1) if versions else 1
     payload = dict(payload, version=version)
     _fs_mkdirs(fs, f"{root}/{_SNAP_DIR}")
-    _fs_write_json(fs, f"{root}/{_SNAP_DIR}/v{version:08d}.json", payload)
+    snap = _snapshot_payload(fs, root, payload, version)
+    _fs_write_json(fs, f"{root}/{_SNAP_DIR}/v{version:08d}.json", snap)
     _fs_write_json(fs, f"{root}/_aisle_files.json", payload)
     return version
 

@@ -210,3 +210,90 @@ class TestTimeTravel:
         removed = vacuum_encoded(out, min_age_seconds=0)
         assert set(removed) == set(old_files)
         assert spark.read.format("aisle").load(out).count() == df.count()
+
+
+class TestDeltaSnapshots:
+    """Snapshot growth discipline (VERDICT r3 next #7): commits persist
+    O(changed files) snapshot bytes, not O(table files); every chain
+    replays to exactly the full payload; retention never strands a delta
+    without its base."""
+
+    def _commit_states(self, root: str, n_versions: int) -> dict[int, dict]:
+        from aisle_spark.pipeline import publish_manifest
+
+        # realistic-size file names so delta wins over full
+        files: list[str] = [f"part-{i:04d}-{'a' * 24}.parquet" for i in range(200)]
+        states = {}
+        for v in range(1, n_versions + 1):
+            if v == 1:
+                cur = list(files)
+            elif v == 20:  # compaction-like rewrite: nearly everything changes
+                cur = [f"compact-xyz/{i:04d}.parquet" for i in range(10)]
+            else:
+                cur = sorted(set(states[v - 1]["files"]) | {
+                    f"part-new{v:04d}-{'b' * 24}.parquet"
+                })
+            # per-file bounds are immutable once written (like real blocks)
+            stats = {
+                f: {"n_tok": [1, len(f)], "source": ["a", "z"]} for f in cur
+            }
+            payload = {"files": cur, "file_stats": stats}
+            if v % 3 == 0:  # streaming-style extras ride along
+                payload["batches"] = {str(v): cur[-1:]}
+            got = publish_manifest(None, root, payload)
+            assert got == v
+            states[v] = {**payload, "files": sorted(cur)}
+        return states
+
+    def test_replay_identity_and_size_bound(self, tmp_path):
+        import json as _json
+
+        from aisle_spark.pipeline import _SNAP_DIR, read_snapshot
+
+        root = str(tmp_path / "t")
+        import os
+
+        os.makedirs(root)
+        states = self._commit_states(root, 40)
+        for v, payload in states.items():
+            snap = read_snapshot(None, root, v)
+            assert snap["files"] == payload["files"], v
+            assert snap["file_stats"] == payload["file_stats"], v
+            assert snap.get("batches") == payload.get("batches"), v
+            assert snap["version"] == v
+        sizes = {
+            v: os.path.getsize(f"{root}/{_SNAP_DIR}/v{v:08d}.json")
+            for v in states
+        }
+        on_disk = {
+            v: _json.load(open(f"{root}/{_SNAP_DIR}/v{v:08d}.json"))
+            for v in states
+        }
+        # periodic checkpoints are full; the rest are deltas
+        assert "delta_base" not in on_disk[1]
+        assert "delta_base" not in on_disk[17]
+        assert "delta_base" not in on_disk[33]
+        assert "delta_base" in on_disk[5]
+        # a one-file append persists a small fraction of the full payload
+        assert sizes[5] < sizes[1] * 0.25
+        # the rewrite commit degrades to full (delta would be larger)
+        assert "delta_base" not in on_disk[20]
+
+    def test_expire_materializes_boundary_full(self, tmp_path):
+        import os
+
+        from aisle_spark.maintenance import expire_snapshots
+        from aisle_spark.pipeline import read_snapshot
+
+        root = str(tmp_path / "e")
+        os.makedirs(root)
+        states = self._commit_states(root, 25)
+        before = {v: read_snapshot(None, root, v) for v in range(21, 26)}
+        victims = expire_snapshots(root, keep_last=5)
+        assert victims == list(range(1, 21))
+        for v in range(21, 26):  # every retained chain still materializes
+            assert read_snapshot(None, root, v) == before[v]
+        import pytest as _pytest
+
+        with _pytest.raises((FileNotFoundError, OSError)):
+            read_snapshot(None, root, 20)
