@@ -615,13 +615,30 @@ def decode_block_filtered(
     from aisle_spark.rowmask import row_mask
 
     by_name = {s.name: s for s in specs}
+
+    def _scalar_only(node) -> bool:
+        return all(
+            by_name[c].kind not in ("intlist", "floatlist", "map")
+            for c in node.columns()
+            if c in by_name
+        )
+
+    if not _scalar_only(where):
+        # map/list predicates have no chunk tier (per-key/per-element
+        # chunk stats are unbounded — COVERAGE §2.3 map row). When they
+        # sit in a top-level AND beside scalar conjuncts, refine with the
+        # SCALAR sub-conjunction: an And-subset only loosens the mask
+        # (chunk skips and row drops stay sound) and the dropped
+        # conjuncts are re-checked by the caller's residual. A bare or
+        # OR-embedded map/list predicate cannot be split — full decode.
+        from aisle_spark.filterspec import And as _And
+
+        parts = where.parts if isinstance(where, _And) else [where]
+        scalar_parts = [p for p in parts if _scalar_only(p)]
+        if not isinstance(where, _And) or not scalar_parts:
+            return decode_block(specs, row, columns)
+        where = _And(scalar_parts) if len(scalar_parts) > 1 else scalar_parts[0]
     pred_cols = sorted(where.columns())
-    if any(
-        by_name[c].kind in ("intlist", "floatlist", "map")
-        for c in pred_cols
-        if c in by_name
-    ):
-        return decode_block(specs, row, columns)
 
     # page-index analog: evaluate the chunk-level tri-state from the
     # per-chunk stat arrays BEFORE touching any payload — a kept block

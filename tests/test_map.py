@@ -206,3 +206,89 @@ class TestOracle:
             )
             assert got == exp, spec.to_sql()
         blocks.unpersist()
+
+
+class TestConjunctPartnerRefinement:
+    """Map predicates have no chunk tier (per-key chunk stats would be
+    unbounded), but a SCALAR conjunct in the same top-level AND must
+    still refine: chunk-skip and row-mask run on the scalar
+    sub-conjunction (an And-subset only loosens — the caller's residual
+    re-checks the map part), so map payloads decode only for surviving
+    rows (VERDICT r3 next #6)."""
+
+    def _mixed_block(self, n=4096):
+        n_col = pa.array(np.arange(n, dtype=np.int64))
+        props = pa.array(
+            [[("a", int(i % 7))] for i in range(n)], type=MT
+        )
+        return _block({"n": n_col, "props": props})
+
+    def test_scalar_partner_chunk_skip_decodes_zero_rows(self):
+        from aisle_spark.blocks import decode_block_filtered
+
+        specs, row = self._mixed_block()
+        # no 512-row chunk contains n == 10**9 => zero rows come back
+        # WITHOUT a full-block decode (the old path bailed to full decode
+        # whenever a map conjunct was present)
+        where = (col("props").map_key("a") == 1) & (col("n") == 10**9)
+        out = decode_block_filtered(specs, row, ["n", "props"], where)
+        assert out.num_rows == 0
+
+    def test_scalar_partner_mask_limits_map_rows(self):
+        from aisle_spark.blocks import decode_block_filtered
+
+        specs, row = self._mixed_block()
+        where = (col("props").map_key("a") == 3) & (col("n") < 100)
+        out = decode_block_filtered(specs, row, ["n", "props"], where)
+        # superset semantics: every n >= 100 row is masked out by the
+        # scalar conjunct; the map conjunct is left to the residual
+        got_n = out.column("n").to_pylist()
+        assert got_n and max(got_n) < 100
+        assert set(got_n) == set(range(100))  # nothing under 100 dropped
+
+    def test_bare_map_predicate_still_full_decodes(self):
+        from aisle_spark.blocks import decode_block_filtered
+
+        specs, row = self._mixed_block()
+        out = decode_block_filtered(
+            specs, row, ["n", "props"], col("props").map_key("a") == 3
+        )
+        assert out.num_rows == 4096  # no scalar partner: superset = all
+
+    def test_or_with_map_predicate_not_split(self):
+        from aisle_spark.blocks import decode_block_filtered
+
+        specs, row = self._mixed_block()
+        where = (col("props").map_key("a") == 3) | (col("n") < 10)
+        out = decode_block_filtered(specs, row, ["n", "props"], where)
+        assert out.num_rows == 4096  # OR cannot be narrowed soundly
+
+    def test_scan_results_exact_with_mixed_conjunction(self, spark):
+        from pyspark.sql import functions as F
+
+        from aisle_spark.pipeline import arrow_schema_of, encode_table, scan
+
+        rows = [
+            {"n": i, "props": {"a": i % 7, "b": i % 3}} for i in range(3000)
+        ]
+        df = spark.createDataFrame(
+            pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [pa.field("n", pa.int64()), pa.field("props", MT)]
+                ),
+            )
+        )
+        blocks = encode_table(df, parts=2, block_rows=512, sort_cols=["n"])
+        got = scan(
+            blocks,
+            arrow_schema_of(df),
+            where=(col("props").map_key("a") == 2) & (col("n").between(700, 900)),
+        )
+        exp = df.filter(
+            (F.try_element_at("props", F.lit("a")) == 2)
+            & F.col("n").between(700, 900)
+        )
+        assert sorted(r.n for r in got.collect()) == sorted(
+            r.n for r in exp.collect()
+        )
