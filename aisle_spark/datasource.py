@@ -545,11 +545,18 @@ class AisleStreamReader(DataSourceStreamReader):
     same `_decode_file` engine as the batch reader."""
 
     def __init__(self, path: str, where: str | None = None,
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 max_files_per_trigger: int | None = None):
         self.fs, self.path = _fs_of(path)
         self.arrow_schema = _read_sidecar_schema(self.fs, self.path)
         self.out_schema = _project_schema(self.arrow_schema, columns)
         self.exact_where: Spec | None = None
+        self._max_files = max_files_per_trigger
+        # last offset this reader planned or committed — the anchor the
+        # rate limiter advances from. None right after a restart: the
+        # first latestOffset() then runs uncapped (the Python stream API
+        # gives latestOffset no start offset), every later one is capped.
+        self._cursor: dict | None = None
         if where:
             from aisle_spark.sqlcompile import parse_where
 
@@ -557,62 +564,169 @@ class AisleStreamReader(DataSourceStreamReader):
             _validate_exact_where(self.exact_where, self.arrow_schema)
 
     def initialOffset(self) -> dict:
+        self._cursor = {"version": 0}
         return {"version": 0}
 
-    def latestOffset(self) -> dict:
-        from aisle_spark.pipeline import list_snapshots
-
-        versions = list_snapshots(self.fs, self.path.rstrip("/"))
-        return {"version": versions[-1] if versions else 0}
-
-    def _new_files(self, start_v: int, end_v: int) -> tuple[list[str], dict]:
-        """Manifest-relative files a stream must emit for (start_v, end_v],
-        plus the newest snapshot's file_stats. Version 0 start = initial
-        load of the END snapshot's CURRENT file set (so fresh streams over
-        compacted/vacuumed tables read exactly the live data); afterwards
-        each version contributes its file-set delta, and compaction
-        commits contribute NOTHING (their files carry only already-
-        emitted rows — the re-emit footgun of filename-based offsets)."""
+    def _read_snap(self, v: int) -> dict:
+        """read_snapshot with the retention-violation diagnostic (a raw
+        FileNotFoundError would lose the contract; ADVICE r3 low)."""
         from aisle_spark.pipeline import read_snapshot
 
-        root = self.path.rstrip("/")
-        if end_v <= start_v:
-            return [], {}
-        end_snap = read_snapshot(self.fs, root, end_v)
-        stats = end_snap.get("file_stats", {})
-        if start_v == 0:
-            return list(end_snap["files"]), stats
-        out: list[str] = []
         try:
-            prev = set(read_snapshot(self.fs, root, start_v)["files"])
+            return read_snapshot(self.fs, self.path.rstrip("/"), v)
         except (FileNotFoundError, OSError):
             raise RuntimeError(
-                f"stream offset snapshot v{start_v} was expired while the "
+                f"stream offset snapshot v{v} was expired while the "
                 "stream was reading it — expire_snapshots retention must "
                 "outlive active streams"
             ) from None
-        for v in range(start_v + 1, end_v + 1):
-            try:
-                snap = read_snapshot(self.fs, root, v)
-            except (FileNotFoundError, OSError):
-                # an INTERMEDIATE snapshot expired mid-stream must carry
-                # the same diagnostic as the start snapshot, not a raw
-                # FileNotFoundError (ADVICE r3 low)
-                raise RuntimeError(
-                    f"stream offset snapshot v{v} was expired while the "
-                    "stream was reading it — expire_snapshots retention "
-                    "must outlive active streams"
-                ) from None
-            cur = set(snap["files"])
-            if "compacted_from" not in snap:
-                out.extend(sorted(cur - prev))
-            prev = cur
+
+    def _additions(self, v: int) -> list[str]:
+        """Sorted files entering the table at version v (empty for
+        compaction commits — their files carry only already-emitted
+        rows, the re-emit footgun of filename-based offsets)."""
+        snap = self._read_snap(v)
+        if "compacted_from" in snap:
+            return []
+        if v == 1:
+            return sorted(snap["files"])
+        prev = self._read_snap(v - 1)
+        return sorted(set(snap["files"]) - set(prev["files"]))
+
+    def latestOffset(self) -> dict:
+        """Newest available offset — capped to ``maxFilesPerTrigger`` new
+        files beyond the cursor when the option is set. Every offset is
+        SELF-CONTAINED (replayable from the checkpoint alone):
+
+        * ``{"version": v}`` — everything through commit v emitted;
+        * ``{"version": v, "pos": m}`` — through v-1, plus the first m of
+          version v's sorted file additions;
+        * ``{"version": 0, "backfill_v": L, "pos": m}`` — a capped initial
+          backfill: the first m files of snapshot L's file list (pinned
+          at the first trigger; snapshots are immutable, so the list is
+          deterministic across retries and restarts), nothing else.
+
+        Cursor protocol: a fresh query's first latestOffset runs with no
+        cursor (observed runner order: latestOffset before initialOffset)
+        and anchors at version 0; on restart the runner calls
+        partitions(checkpoint, checkpoint) first, which seeds the cursor,
+        so a restart is never mistaken for a fresh stream."""
+        from aisle_spark.pipeline import list_snapshots
+
+        versions = list_snapshots(self.fs, self.path.rstrip("/"))
+        latest = versions[-1] if versions else 0
+        cap, cur = self._max_files, self._cursor
+        if not cap or latest == 0:
+            return {"version": latest}
+        if cur is None:
+            cur = {"version": 0}
+        budget = cap
+        v = int(cur.get("version", 0))
+        if cur.get("backfill_v") is not None:
+            # mid-backfill: keep draining the pinned snapshot-L list
+            bv = int(cur["backfill_v"])
+            files = self._read_snap(bv)["files"]
+            done = int(cur["pos"])
+            if len(files) - done > budget:
+                return {"version": 0, "backfill_v": bv, "pos": done + budget}
+            budget -= len(files) - done
+            v = bv  # backfill drained: complete through L, walk onward
+        elif v == 0:
+            # fresh stream: pin the backfill list to the CURRENT snapshot
+            # (compacted/vacuumed history must never be read)
+            files = self._read_snap(latest)["files"]
+            if len(files) > budget:
+                return {"version": 0, "backfill_v": latest, "pos": budget}
+            return {"version": latest}
+        elif cur.get("pos") is not None:
+            adds = self._additions(v)
+            done = int(cur["pos"])
+            if len(adds) - done > budget:
+                return {"version": v, "pos": done + budget}
+            budget -= len(adds) - done
+        w = v
+        while w < latest:
+            nxt = self._additions(w + 1)
+            if len(nxt) > budget:
+                if budget == 0:
+                    break  # emit up to w complete; never a pos-0 offset
+                w += 1
+                return {"version": w, "pos": budget}
+            budget -= len(nxt)
+            w += 1
+        return {"version": w}
+
+    def _new_files(self, start: dict, end: dict) -> tuple[list[str], dict]:
+        """Manifest-relative files a stream must emit for (start, end],
+        plus the horizon snapshot's file_stats. A plain version-0 start
+        loads the END snapshot's CURRENT file set (fresh streams over
+        compacted/vacuumed tables read exactly the live data);
+        rate-limited backfills slice the pinned ``backfill_v`` list;
+        afterwards each version contributes its sorted file-set delta
+        with ``pos`` trimming. Offset shapes that cannot follow each
+        other under the documented protocol raise loudly — silently
+        guessing could double- or under-emit rows."""
+        start_v, end_v = int(start.get("version", 0)), int(end.get("version", 0))
+        s_bf, e_bf = start.get("backfill_v"), end.get("backfill_v")
+        sp, ep = start.get("pos"), end.get("pos")
+
+        def _violation() -> RuntimeError:
+            return RuntimeError(
+                f"stream offset protocol violation: start={start} cannot "
+                f"precede end={end} — restart the stream from a clean "
+                "checkpoint"
+            )
+
+        if e_bf is not None:
+            # capped backfill slice: only a fresh start or an earlier
+            # position in the SAME pinned list may precede it
+            bv = int(e_bf)
+            files = list(self._read_snap(bv)["files"])
+            stats = self._read_snap(bv).get("file_stats", {})
+            if s_bf is not None:
+                if int(s_bf) != bv:
+                    raise _violation()
+                lo = int(sp)
+            elif start_v == 0 and sp is None:
+                lo = 0
+            else:
+                raise _violation()
+            return files[lo:int(ep)], stats
+        if end_v == 0:
+            return [], {}
+        end_snap = self._read_snap(end_v)
+        stats = end_snap.get("file_stats", {})
+        out: list[str] = []
+        if s_bf is not None:
+            # backfill completes within this batch, then deltas follow
+            bv = int(s_bf)
+            if bv > end_v:
+                raise _violation()
+            out.extend(list(self._read_snap(bv)["files"])[int(sp):])
+            base = bv
+        elif start_v == 0:
+            # uncapped initial load: the END snapshot's live file set
+            files = list(end_snap["files"])
+            return (files[:int(ep)] if ep is not None else files), stats
+        elif sp is not None:
+            adds = self._additions(start_v)
+            hi = int(ep) if (end_v == start_v and ep is not None) else len(adds)
+            out.extend(adds[int(sp):hi])
+            if end_v == start_v:
+                return out, stats
+            base = start_v
+        else:
+            base = start_v
+        for v in range(base + 1, end_v + 1):
+            adds = self._additions(v)
+            if v == end_v and ep is not None:
+                adds = adds[:int(ep)]
+            out.extend(adds)
         return out, stats
 
     def partitions(self, start: dict, end: dict) -> Sequence[AislePartition]:
-        new, fstats = self._new_files(
-            int(start.get("version", 0)), int(end.get("version", 0))
-        )
+        self._cursor = dict(end)
+        new, fstats = self._new_files(start, end)
         root = self.path.rstrip("/")
         parts = [AislePartition(f"{root}/{f}", None) for f in new]
         if self.exact_where is not None and parts:
@@ -640,7 +754,9 @@ class AisleStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in Spark's checkpoint; nothing to retire
+        # progress lives in Spark's checkpoint; nothing to retire — but
+        # the rate limiter's cursor advances with every committed batch
+        self._cursor = dict(end)
 
     def stop(self) -> None:
         pass
@@ -992,6 +1108,12 @@ class AisleDataSource(DataSource):
       Ordinary ``.filter()`` predicates are pushed down automatically —
       this option exists for predicate shapes Spark cannot push (IN over
       many values survives, BETWEEN, LIKE patterns, OR trees).
+    * ``maxFilesPerTrigger`` — stream-read path: cap on NEW files per
+      micro-batch, including the initial backfill (a fresh stream over a
+      10^5-file table otherwise reads everything in one batch).
+      Sub-version offsets stay self-contained and exactly-once across
+      restarts; with Trigger.AvailableNow each RUN advances one bounded
+      batch (the Python DataSource API exposes no admission control).
     * ``versionAsOf`` — read path: pin a committed manifest snapshot
       (every write/append/compaction/stream-batch publishes one) — time
       travel for reproducible training runs; vacuum never deletes files a
@@ -1042,10 +1164,14 @@ class AisleDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> AisleStreamReader:
+        mft = self.options.get("maxFilesPerTrigger") or self.options.get(
+            "maxfilespertrigger"  # Spark lower-cases DataFrameReader options
+        )
         return AisleStreamReader(
             self._path(),
             where=self.options.get("where"),
             columns=self._columns(),
+            max_files_per_trigger=int(mft) if mft else None,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> AisleWriter:
