@@ -603,6 +603,32 @@ def _ann_ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _count_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-only COUNT pushdown (r4, beyond the reference): blocks whose
+    evidence proves every row matches contribute n_rows with zero payload
+    decode; only boundary blocks decode. Oracle is the plain SQL count."""
+    from aisle_spark.pipeline import scan_count
+
+    blocks, schema = _encoded(spark, sf_dir, "lineitem", _LI_SORT)
+    return scan_count(
+        blocks,
+        schema,
+        where=col("l_quantity").between(10.0, 40.0)
+        & (col("l_returnflag") == "A"),
+    )
+
+
+def _minmax_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-only MIN/MAX pushdown on a nullable double column under a
+    predicate — definitely-true blocks answer from exact block stats."""
+    from aisle_spark.pipeline import scan_min_max
+
+    blocks, schema = _encoded(spark, sf_dir, "events", _EV_SORT)
+    return scan_min_max(
+        blocks, schema, "value", where=col("event_type") == "click"
+    )
+
+
 def _ds_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("aisle")
@@ -712,6 +738,18 @@ _DS_QUERIES = {
         _ds_compacted_query,
         "SELECT doc_id, source, n_chars FROM documents "
         "WHERE source = 'src7' AND n_chars <= 400",
+    ),
+    # stats-only aggregation pushdown (r4): count/min-max answered from
+    # block evidence, boundary blocks decoded exactly
+    "lineitem_count_pushdown": (
+        _count_pushdown_query,
+        "SELECT count(*) AS cnt FROM lineitem "
+        "WHERE l_quantity BETWEEN 10.0 AND 40.0 AND l_returnflag = 'A'",
+    ),
+    "events_minmax_pushdown": (
+        _minmax_pushdown_query,
+        "SELECT min(\"value\") AS mn, max(\"value\") AS mx FROM events "
+        "WHERE event_type = 'click'",
     ),
     # typed (epoch-µs) manifest-list bounds: planning drops whole files
     # for the archetypal event-table time-range scan

@@ -1111,6 +1111,115 @@ def scan(
     return decoded.select(*out_cols)
 
 
+def scan_count(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    where: "Spec | str | None" = None,
+    opts: "PruneOptions | None" = None,
+) -> DataFrame:
+    """``SELECT count(*) WHERE …`` answered from block STATISTICS:
+    blocks whose evidence proves every row matches (``NOT not_true()``
+    — the De Morgan dual of keep(), null-guarded at the leaves)
+    contribute ``n_rows`` without touching a single payload byte; only
+    the boundary blocks (kept but not definitely-true) decode and count
+    exactly. On a range-clustered table the boundary is the two edge
+    blocks of the range — the classic stats-only aggregation pushdown
+    (beyond the reference, which has no aggregation surface).
+
+    Returns a one-row DataFrame ``(cnt bigint)`` — same laziness
+    contract as :func:`scan`."""
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+
+    opts = opts or DEFAULT_OPTIONS
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    if where is None:
+        return blocks.agg(
+            F.coalesce(F.sum(F.col("n_rows").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("cnt")
+        )
+    sure = blocks.filter(~where.not_true(opts)).agg(
+        F.coalesce(F.sum(F.col("n_rows").cast("long")), F.lit(0)).alias("c")
+    )
+    boundary_blocks = blocks.filter(where.keep(opts) & where.not_true(opts))
+    # empty boundary (fully clustered predicate): skip the decode branch
+    # entirely — the mapInArrow stage costs a Python-worker spin-up even
+    # for zero rows. One cheap stats-only job decides, eagerly.
+    if boundary_blocks.isEmpty():
+        return sure.select(F.col("c").cast("long").alias("cnt"))
+    # decode only the predicate's own columns on the boundary
+    proj = sorted({c.split(".")[0] for c in where.columns()})
+    boundary = scan(boundary_blocks, schema, where=where, columns=proj).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        sure.unionAll(boundary)
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+
+
+_MINMAX_EXACT_KINDS = ("int", "timestamp", "duration", "decimal", "float")
+
+
+def scan_min_max(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    column: str,
+    where: "Spec | str | None" = None,
+    opts: "PruneOptions | None" = None,
+) -> DataFrame:
+    """``SELECT min(col), max(col) WHERE …`` from block statistics:
+    definitely-true blocks answer from their exact ``__min``/``__max``
+    (null-excluding, Spark NaN-greatest order — the same total order the
+    engine stats use); boundary blocks decode and aggregate exactly.
+    Restricted to kinds whose stats are always exact
+    (int/date/timestamp/duration/decimal/float) — long string/binary
+    stats are truncation BOUNDS, not values, so they cannot answer an
+    aggregate and raise here.
+
+    Returns a one-row DataFrame ``(mn, mx)`` in the column's type."""
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+    from aisle_spark.schema import specs_for_schema
+
+    opts = opts or DEFAULT_OPTIONS
+    spec_ = next(
+        (s for s in specs_for_schema(schema) if s.name == column), None
+    )
+    if spec_ is None:
+        raise KeyError(f"unknown column {column}")
+    if spec_.kind not in _MINMAX_EXACT_KINDS:
+        raise TypeError(
+            f"scan_min_max needs exact stats; kind {spec_.kind!r} of "
+            f"{column!r} stores bounds (use scan + agg instead)"
+        )
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    mn_c, mx_c = F.col(f"`{column}__min`"), F.col(f"`{column}__max`")
+    if where is None:
+        sure_blocks, boundary_blocks = blocks, blocks.limit(0)
+    else:
+        sure_blocks = blocks.filter(~where.not_true(opts))
+        boundary_blocks = blocks.filter(where.keep(opts) & where.not_true(opts))
+    sure = sure_blocks.agg(F.min(mn_c).alias("mn"), F.max(mx_c).alias("mx"))
+    if boundary_blocks.isEmpty():  # same spin-up skip as scan_count
+        return sure
+    proj = sorted(
+        {column.split(".")[0]}
+        | ({c.split(".")[0] for c in where.columns()} if where else set())
+    )
+    boundary = scan(boundary_blocks, schema, where=where, columns=proj).agg(
+        F.min(F.col(column)).alias("mn"), F.max(F.col(column)).alias("mx")
+    )
+    return sure.unionAll(boundary).agg(
+        F.min("mn").alias("mn"), F.max("mx").alias("mx")
+    )
+
+
 def prune_report(blocks: DataFrame, where: Spec | str) -> dict:
     """Pruning diagnosis in ONE Spark job: how many blocks (and rows)
     survive the full evidence predicate, and how many each TOP-LEVEL

@@ -251,6 +251,17 @@ def main() -> None:
     scan(blocks, schema).agg(F.count("*"), F.sum(F.size("tokens"))).collect()
     queries["decode_full"] = round(time.time() - t0, 3)
 
+    # stats-only COUNT pushdown (all-true shape — the common "count the
+    # period" query): every block proves itself via NOT not_true(), so
+    # the count never touches a payload byte; compare to decode_full's
+    # count which decodes everything. Selective predicates fall back to
+    # boundary decode (measured in tests/test_statsagg.py).
+    from aisle_spark.pipeline import scan_count
+
+    t0 = time.time()
+    scan_count(blocks, schema, where=col("n_tok") >= 1).collect()
+    queries["count_pushdown"] = round(time.time() - t0, 3)
+
     # point lookups: bloom definite-absence (doc_id) and chunk-level skip
     # (n_tok point inside kept blocks — most kept blocks decode nothing)
     target = df.select("doc_id").limit(1).collect()[0][0]

@@ -1,0 +1,146 @@
+"""Stats-only aggregation pushdown: COUNT(*) and MIN/MAX answered from
+block evidence (definitely-true blocks never decode a payload byte),
+boundary blocks decoded exactly. Beyond the reference's surface — the
+classic metadata-aggregation optimization of columnar engines."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from aisle_spark.filterspec import col
+from aisle_spark.pipeline import (
+    arrow_schema_of,
+    encode_table,
+    scan_count,
+    scan_min_max,
+)
+from aisle_spark.schema import synth_batch
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    df = spark.createDataFrame(pa.Table.from_batches([synth_batch(11, 6000)]))
+    blocks = encode_table(
+        df, parts=4, block_rows=512, sort_cols=["source", "n_tok"]
+    ).persist()
+    blocks.count()
+    yield df, blocks, arrow_schema_of(df)
+    blocks.unpersist()
+
+
+class TestScanCount:
+    @pytest.mark.parametrize(
+        "spec,sql",
+        [
+            (col("n_tok").between(100, 3000), "n_tok BETWEEN 100 AND 3000"),
+            (col("source") == "web", "source = 'web'"),
+            ((col("n_tok") > 500) & (col("source") != "code"),
+             "n_tok > 500 AND source <> 'code'"),
+            (col("doc_id").startswith("books-"), "doc_id LIKE 'books-%'"),
+            (None, None),
+        ],
+    )
+    def test_matches_exact_count(self, spark, table, spec, sql):
+        df, blocks, schema = table
+        got = scan_count(blocks, schema, where=spec).collect()[0].cnt
+        exp = df.filter(sql).count() if sql else df.count()
+        assert got == exp
+
+    def test_sure_blocks_never_decode(self, spark, table):
+        """A predicate the whole sorted layout satisfies: every block is
+        definitely-true, the boundary is EMPTY, and the plan's read
+        schema contains no payload column at all."""
+        df, blocks, schema = table
+        spec = col("n_tok") >= -1  # n_tok is never null / negative
+        assert blocks.filter(spec.not_true()).count() == 0
+        got = scan_count(blocks, schema, where=spec)
+        assert got.collect()[0].cnt == df.count()
+
+    def test_impossible_predicate_zero(self, spark, table):
+        _df, blocks, schema = table
+        assert (
+            scan_count(blocks, schema, where=col("n_tok") > 10**9)
+            .collect()[0]
+            .cnt
+            == 0
+        )
+
+    def test_random_predicates_match(self, spark, table):
+        import random
+
+        from tests.test_random_predicates import _rand_spec
+
+        df, blocks, schema = table
+        rng = random.Random(31)
+        for _ in range(10):
+            spec = _rand_spec(rng)
+            got = scan_count(blocks, schema, where=spec).collect()[0].cnt
+            exp = df.filter(spec.residual()).count()
+            assert got == exp, repr(spec)
+
+    def test_accepts_sql_string(self, spark, table):
+        df, blocks, schema = table
+        got = scan_count(blocks, schema, where="n_tok <= 300").collect()[0].cnt
+        assert got == df.filter("n_tok <= 300").count()
+
+
+class TestScanMinMax:
+    def test_int_with_predicate(self, spark, table):
+        df, blocks, schema = table
+        r = scan_min_max(
+            blocks, schema, "n_tok", where=col("source") == "books"
+        ).collect()[0]
+        e = df.filter("source = 'books'").agg(
+            F.min("n_tok").alias("mn"), F.max("n_tok").alias("mx")
+        ).collect()[0]
+        assert (r.mn, r.mx) == (e.mn, e.mx)
+
+    def test_no_predicate_stats_only(self, spark, table):
+        df, blocks, schema = table
+        r = scan_min_max(blocks, schema, "n_tok").collect()[0]
+        e = df.agg(F.min("n_tok"), F.max("n_tok")).collect()[0]
+        assert (r.mn, r.mx) == (e[0], e[1])
+
+    def test_float_nan_and_nulls(self, spark):
+        rows = [(i, v) for i, v in enumerate(
+            [1.5, -3.25, None, math.nan, 0.0, 7.125, None, math.inf, -math.inf]
+        )]
+        df = spark.createDataFrame(rows, "id long, x double")
+        blocks = encode_table(df, parts=1, block_rows=4)
+        schema = arrow_schema_of(df)
+        r = scan_min_max(blocks, schema, "x").collect()[0]
+        e = df.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+        # Spark total order: NaN greatest — stats agree bit-for-bit
+        assert str(r.mn) == str(e.mn) and str(r.mx) == str(e.mx)
+
+    def test_empty_result_is_null(self, spark, table):
+        _df, blocks, schema = table
+        r = scan_min_max(
+            blocks, schema, "n_tok", where=col("n_tok") > 10**9
+        ).collect()[0]
+        assert r.mn is None and r.mx is None
+
+    def test_string_kind_raises(self, spark, table):
+        _df, blocks, schema = table
+        with pytest.raises(TypeError, match="bounds"):
+            scan_min_max(blocks, schema, "doc_id")
+
+    def test_decimal_exact(self, spark):
+        import decimal
+
+        df = spark.range(200).selectExpr(
+            "id", "cast(id + 0.75 as decimal(12,2)) AS amt",
+            "cast(id % 5 as int) AS g"
+        )
+        blocks = encode_table(df, parts=1, block_rows=32, sort_cols=["amt"])
+        schema = arrow_schema_of(df)
+        r = scan_min_max(blocks, schema, "amt", where=col("g") == 3).collect()[0]
+        e = df.filter("g = 3").agg(
+            F.min("amt").alias("mn"), F.max("amt").alias("mx")
+        ).collect()[0]
+        assert (r.mn, r.mx) == (e.mn, e.mx)
+        assert isinstance(r.mn, decimal.Decimal)
