@@ -776,10 +776,11 @@ class AisleCommit(WriterCommitMessage):
 
 # file-level stats cover every orderable scalar kind with a JSON-safe
 # canonical encoding (the reference prunes all orderable leaves at its
-# coarsest granularity, src/prune/stats.rs:120-157, 365-410); binary is
-# the one deliberate gap (bytes have no faithful JSON form) => Unknown =>
-# file kept, always sound
-_FILE_STAT_KINDS = ("int", "float", "string", "timestamp", "duration", "decimal")
+# coarsest granularity, src/prune/stats.rs:120-157, 365-410); binary
+# bounds ride as tagged base64 ({"b64": ...}) so byte order survives JSON
+_FILE_STAT_KINDS = (
+    "int", "float", "string", "timestamp", "duration", "decimal", "binary",
+)
 
 
 def _json_stat_bound(v):
@@ -808,6 +809,10 @@ def _json_stat_bound(v):
         return v // _dt.timedelta(microseconds=1)
     if isinstance(v, _decimal.Decimal):
         return str(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        import base64
+
+        return {"b64": base64.b64encode(bytes(v)).decode("ascii")}
     if isinstance(v, float):
         return None if math.isnan(v) else v
     if isinstance(v, (int, str)):
@@ -892,6 +897,16 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
             # raises InvalidOperation => the outer guard keeps the file)
             if isinstance(value, _decimal.Decimal) and isinstance(b, str):
                 return _decimal.Decimal(b)
+            # binary bounds are tagged base64 ({"b64": ...}); decode back
+            # to bytes for byte-order comparison (a dict reaching any
+            # other comparison raises TypeError => file kept)
+            if isinstance(b, dict):
+                import base64
+
+                raw = b.get("b64")
+                if isinstance(value, (bytes, bytearray)) and isinstance(raw, str):
+                    return base64.b64decode(raw)
+                return None
             return b
 
         return side(v[0]), side(v[1])

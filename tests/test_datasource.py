@@ -962,3 +962,53 @@ class TestPartitionRowsCap:
         r.spec = col("source") == "books"
         parts = r.partitions()
         assert parts and all(p.rows is not None for p in parts)
+
+
+class TestBinaryFileStats:
+    """Binary file-level bounds ride as tagged base64 — whole-file
+    pruning for byte-ordered predicates (closes the last kind gap in
+    _FILE_STAT_KINDS)."""
+
+    def test_file_keep_bytes_domain(self):
+        from aisle_spark.datasource import _json_stat_bound, file_keep
+        from aisle_spark.filterspec import col
+
+        stats = {"h": [_json_stat_bound(b"\x10aa"), _json_stat_bound(b"\x20zz")]}
+        assert isinstance(stats["h"][0], dict) and "b64" in stats["h"][0]
+        import json
+
+        json.dumps(stats)  # JSON-safe
+        assert not file_keep(stats, col("h") > b"\x30")
+        assert file_keep(stats, col("h") >= b"\x15")
+        assert not file_keep(stats, col("h") < b"\x10aa")
+        # corrupted / foreign dict bound => Unknown => keep
+        assert file_keep({"h": [{"x": 1}, {"x": 2}]}, col("h") > b"\x30")
+        # non-bytes predicate against a b64 bound => Unknown => keep
+        assert file_keep(stats, col("h") > "zzz")
+
+    def test_planning_drops_files_on_binary_bounds(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "bin")
+        df = spark.range(900).selectExpr(
+            "id",
+            # unhex gives disjoint byte ranges per third: 0x00.., 0x01.., 0x02..
+            "unhex(concat(lpad(hex(cast(id / 300 as int)), 2, '0'),"
+            " lpad(hex(id % 256), 2, '0'))) AS h",
+        )
+        for lo in (0, 300, 600):
+            df.filter(f"id >= {lo} AND id < {lo + 300}").repartition(
+                1
+            ).write.format("aisle").option("sortCols", "h").mode("append").save(out)
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        assert len(m["files"]) == 3
+        assert all("h" in st for st in m["file_stats"].values())
+        r = AisleReader(out, where="h >= '\\x02\\x00'::BLOB")
+        assert len(r.partitions()) == 1  # only the last third's file
+        got = (
+            spark.read.format("aisle")
+            .option("where", "h >= '\\x02\\x00'::BLOB")
+            .load(out)
+        )
+        assert got.count() == df.filter(F.col("h") >= bytes([2, 0])).count()
