@@ -841,12 +841,16 @@ def _file_domain_value(v):
 
 
 def _merge_file_stat(acc: dict, row: dict, cols: list[str]) -> None:
-    """Fold one block's [min,max] into the per-file accumulator, in the
-    stats' NATURAL domain (datetime/Decimal/... compare correctly there;
-    decimal strings would sort lexicographically). ``_json_stat_bound``
-    canonicalizes once, at commit time."""
+    """Fold one block's [min, max, nulls, rows] into the per-file
+    accumulator, in the stats' NATURAL domain (datetime/Decimal/...
+    compare correctly there; decimal strings would sort
+    lexicographically). ``_json_stat_bound`` canonicalizes once, at
+    commit time. The null/row totals feed IsNull file pruning — the
+    ``WHERE deleted_at IS NULL`` shape over event tables."""
     import math
 
+    n_rows = row.get("n_rows")
+    n_rows = int(n_rows) if n_rows is not None else 0
     for c in cols:
         mn, mx = row.get(f"{c}__min"), row.get(f"{c}__max")
         mn = mn.item() if hasattr(mn, "item") else mn
@@ -857,15 +861,19 @@ def _merge_file_stat(acc: dict, row: dict, cols: list[str]) -> None:
             mn = None
         if isinstance(mx, float) and math.isnan(mx):
             mx = None
+        nulls = row.get(f"{c}__nulls")
+        nulls = int(nulls) if nulls is not None else None
         cur = acc.get(c)
         if cur is None:
-            acc[c] = [mn, mx]
+            acc[c] = [mn, mx, nulls, n_rows]
             continue
         # a None bound (all-null block / truncation overflow / NaN)
         # poisons the file bound to None = Unknown on that side
         acc[c] = [
             None if (cur[0] is None or mn is None) else min(cur[0], mn),
             None if (cur[1] is None or mx is None) else max(cur[1], mx),
+            None if (cur[2] is None or nulls is None) else cur[2] + nulls,
+            cur[3] + n_rows,
         ]
 
 
@@ -882,7 +890,7 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
 
     def rng(c, value):
         v = stats.get(c)
-        if not (isinstance(v, (list, tuple)) and len(v) == 2):
+        if not (isinstance(v, (list, tuple)) and len(v) >= 2):
             return None, None
         import decimal as _decimal
         import math
@@ -913,6 +921,18 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
 
     def conj_keep(node: Spec) -> bool:
         try:
+            if isinstance(node, IsNull):
+                # per-file null/row totals ([mn, mx, nulls, rows] entries,
+                # r4): a file with zero nulls cannot satisfy IS NULL; an
+                # all-null file cannot satisfy IS NOT NULL. Older len-2
+                # entries carry no null evidence => keep.
+                v = stats.get(node.col)
+                if not (isinstance(v, (list, tuple)) and len(v) >= 4):
+                    return True
+                nulls, rows = v[2], v[3]
+                if not isinstance(nulls, int) or not isinstance(rows, int):
+                    return True
+                return (nulls < rows) if node.negated else (nulls > 0)
             if isinstance(node, Between):
                 return conj_keep(Cmp(node.col, "ge", node.low)) and conj_keep(
                     Cmp(node.col, "le", node.high)
@@ -1049,11 +1069,13 @@ class AisleWriter(DataSourceArrowWriter):
             if writer is not None:
                 writer.close()
         json_stats = {
-            c: [_json_stat_bound(v[0]), _json_stat_bound(v[1])]
+            c: [_json_stat_bound(v[0]), _json_stat_bound(v[1]), v[2], v[3]]
             for c, v in fstats.items()
         }
         json_stats = {
-            c: v for c, v in json_stats.items() if v[0] is not None or v[1] is not None
+            c: v
+            for c, v in json_stats.items()
+            if v[0] is not None or v[1] is not None or v[2] is not None
         }
         return AisleCommit(filename=name, n_blocks=n_blocks, stats=json_stats)
 

@@ -157,9 +157,12 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
         f'CASE WHEN count(*) <> count("{c}__min") THEN NULL '
         f'ELSE min("{c}__min") END AS "mn_{i}", '
         f'CASE WHEN count(*) <> count("{c}__max") THEN NULL '
-        f'ELSE max("{c}__max") END AS "mx_{i}"'
+        f'ELSE max("{c}__max") END AS "mx_{i}", '
+        f'CASE WHEN count(*) <> count("{c}__nulls") THEN NULL '
+        f'ELSE sum("{c}__nulls") END AS "nl_{i}"'
         for i, c in enumerate(cols)
     )
+    aggs += ', sum("n_rows") AS "rows_total"'
     if fs is None:
         listed = ", ".join(f"'{root}/{f}'" for f in rel_files)
         rows = con.execute(
@@ -173,10 +176,9 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
         from aisle_spark.datasource import _parallel_fetch
 
         def _load_one(f: str) -> pa.Table:
+            want = [f"{c}__{s}" for c in cols for s in ("min", "max", "nulls")]
             with fs.open_input_file(f"{root}/{f}") as srcf:
-                t = pq.read_table(
-                    srcf, columns=[f"{c}__{s}" for c in cols for s in ("min", "max")]
-                )
+                t = pq.read_table(srcf, columns=[*want, "n_rows"])
             return t.append_column("filename", pa.array([f] * t.num_rows))
 
         # bounded-concurrency stat-column fetches (VERDICT r3 wrong #2):
@@ -192,16 +194,21 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
     out: dict = {}
     for row in rows:
         rel = rel_of.get(row[0], row[0])
+        rows_total = row[-1]
+        rows_total = int(rows_total) if rows_total is not None else None
         stats = {}
         for i, c in enumerate(cols):
             # canonical JSON encoding shared with the AisleWriter commit
             # path (timestamp -> epoch µs, date -> epoch days, duration ->
-            # µs, decimal -> exact string, NaN -> None); one-sided bounds
-            # still prune (file_keep treats None as Unknown per side)
-            mn = _json_stat_bound(row[1 + 2 * i])
-            mx = _json_stat_bound(row[2 + 2 * i])
-            if mn is not None or mx is not None:
-                stats[c] = [mn, mx]
+            # µs, decimal -> exact string, NaN -> None, binary -> tagged
+            # base64); one-sided bounds still prune (file_keep treats
+            # None as Unknown per side); null/row totals feed IsNull
+            mn = _json_stat_bound(row[1 + 3 * i])
+            mx = _json_stat_bound(row[2 + 3 * i])
+            nl = row[3 + 3 * i]
+            nl = int(nl) if (nl is not None and rows_total is not None) else None
+            if mn is not None or mx is not None or nl is not None:
+                stats[c] = [mn, mx, nl, rows_total or 0]
         if stats:
             out[rel] = stats
     return out

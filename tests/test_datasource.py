@@ -521,7 +521,7 @@ class TestFileLevelPruning:
         assert set(m["file_stats"]) == set(m["files"])
         some = next(iter(m["file_stats"].values()))
         assert "source" in some and "n_tok" in some
-        mn, mx = some["source"]
+        mn, mx = some["source"][:2]
         assert isinstance(mn, str) and mn <= mx
 
     def test_whole_files_skipped_at_planning(self, spark, per_source_files):
@@ -674,9 +674,9 @@ class TestTypedFileStats:
         assert set(m["file_stats"]) == set(m["files"])
         for st in m["file_stats"].values():
             for c in ("ts", "d", "dur", "n"):
-                lo, hi = st[c]
+                lo, hi = st[c][:2]
                 assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
-            plo, phi = st["price"]
+            plo, phi = st["price"][:2]
             import decimal
 
             assert decimal.Decimal(plo) <= decimal.Decimal(phi)
@@ -813,7 +813,7 @@ class TestFileKeepDomains:
         acc: dict = {}
         _merge_file_stat(acc, {"x__min": 1.0, "x__max": 5.0}, ["x"])
         _merge_file_stat(acc, {"x__min": 2.0, "x__max": math.nan}, ["x"])
-        assert acc["x"] == [1.0, None]  # NaN block => max side Unknown
+        assert acc["x"][:2] == [1.0, None]  # NaN block => max side Unknown
         # a NaN-bearing file must stay for x > v under Spark's NaN-greatest order
         assert file_keep({"x": [1.0, None]}, col("x") > 100.0)
 
@@ -1012,3 +1012,79 @@ class TestBinaryFileStats:
             .load(out)
         )
         assert got.count() == df.filter(F.col("h") >= bytes([2, 0])).count()
+
+
+class TestNullCountFileStats:
+    """Per-file null/row totals ([mn, mx, nulls, rows] manifest entries,
+    r4): IS NULL drops files with zero nulls, IS NOT NULL drops all-null
+    files — the `WHERE deleted_at IS NULL` shape at file granularity."""
+
+    def test_file_keep_null_semantics(self):
+        from aisle_spark.datasource import file_keep
+        from aisle_spark.filterspec import col
+
+        no_nulls = {"v": [1, 9, 0, 100]}
+        some_nulls = {"v": [1, 9, 40, 100]}
+        all_nulls = {"v": [None, None, 100, 100]}
+        legacy = {"v": [1, 9]}  # pre-r4 entry: no null evidence
+        assert not file_keep(no_nulls, col("v").is_null())
+        assert file_keep(some_nulls, col("v").is_null())
+        assert file_keep(all_nulls, col("v").is_null())
+        assert file_keep(no_nulls, col("v").is_not_null())
+        assert file_keep(some_nulls, col("v").is_not_null())
+        assert not file_keep(all_nulls, col("v").is_not_null())
+        assert file_keep(legacy, col("v").is_null())
+        assert file_keep(legacy, col("v").is_not_null())
+
+    @pytest.fixture()
+    def null_files(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "nulls")
+        base = spark.range(600).selectExpr("id", "cast(id as double) AS v")
+        # file 1: no nulls; file 2: all null; file 3: mixed
+        cases = [
+            "v",
+            "cast(NULL as double)",
+            "CASE WHEN id % 2 = 0 THEN v ELSE NULL END",
+        ]
+        for i, expr in enumerate(cases):
+            base.filter(f"id % 3 = {i}").selectExpr("id", f"{expr} AS v").repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        return out
+
+    def test_planning_drops_files_on_null_evidence(self, spark, null_files):
+        out = null_files
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        assert len(m["files"]) == 3
+        assert all(len(st["v"]) == 4 for st in m["file_stats"].values())
+        r = AisleReader(out, where="v IS NULL")
+        assert len(r.partitions()) == 2  # the no-null file never plans
+        r2 = AisleReader(out, where="v IS NOT NULL")
+        assert len(r2.partitions()) == 2  # the all-null file never plans
+
+    def test_results_exact(self, spark, null_files):
+        out = null_files
+        loaded = spark.read.format("aisle")
+        for where, exp in (("v IS NULL", 300), ("v IS NOT NULL", 300)):
+            got = loaded.option("where", where).load(out).count()
+            assert got == exp, where
+
+    def test_compaction_preserves_null_totals(self, spark, null_files):
+        from aisle_spark.maintenance import compact_encoded
+
+        out = null_files
+        compact_encoded(spark, out, target_files=3, order_by="id")
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        sts = list(m["file_stats"].values())
+        assert sts and all(len(st["v"]) == 4 for st in sts)
+        total_nulls = sum(st["v"][2] for st in sts)
+        total_rows = sum(st["v"][3] for st in sts)
+        assert (total_nulls, total_rows) == (300, 600)
+        got = (
+            spark.read.format("aisle")
+            .option("where", "v IS NOT NULL")
+            .load(out)
+            .count()
+        )
+        assert got == 300
