@@ -618,6 +618,17 @@ def _count_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _count_by_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-BY count from block evidence: single-valued blocks on the
+    sort-leading column contribute (value, n_rows) without decode."""
+    from aisle_spark.pipeline import scan_count_by
+
+    blocks, schema = _encoded(spark, sf_dir, "lineitem", _LI_SORT)
+    return scan_count_by(
+        blocks, schema, "l_returnflag", where=col("l_quantity") <= 45.0
+    )
+
+
 def _minmax_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-only MIN/MAX pushdown on a nullable double column under a
     predicate — definitely-true blocks answer from exact block stats."""
@@ -750,6 +761,11 @@ _DS_QUERIES = {
         _minmax_pushdown_query,
         "SELECT min(\"value\") AS mn, max(\"value\") AS mx FROM events "
         "WHERE event_type = 'click'",
+    ),
+    "lineitem_count_by_flag": (
+        _count_by_pushdown_query,
+        "SELECT l_returnflag, count(*) AS cnt FROM lineitem "
+        "WHERE l_quantity <= 45.0 GROUP BY l_returnflag",
     ),
     # typed (epoch-µs) manifest-list bounds: planning drops whole files
     # for the archetypal event-table time-range scan

@@ -1161,6 +1161,78 @@ def scan_count(
     )
 
 
+def scan_count_by(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    group_col: str,
+    where: "Spec | str | None" = None,
+    opts: "PruneOptions | None" = None,
+) -> DataFrame:
+    """``SELECT g, count(*) … GROUP BY g`` answered from block
+    statistics: a block whose group column is SINGLE-VALUED
+    (``min == max`` with zero nulls — exact even for strings, because a
+    truncated bound pair can never be equal) or ALL-NULL contributes
+    ``(value, n_rows)`` without decoding, provided the WHERE evidence
+    proves the whole block matches; every other kept block decodes and
+    groups exactly. On a layout sorted by the group column almost every
+    block is single-valued — count-by-partition-key for the price of a
+    manifest scan.
+
+    Returns a DataFrame ``(group_col, cnt)``; restricted to top-level
+    scalar group columns."""
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+    from aisle_spark.schema import specs_for_schema
+
+    opts = opts or DEFAULT_OPTIONS
+    spec_ = next(
+        (s for s in specs_for_schema(schema) if s.name == group_col), None
+    )
+    if spec_ is None:
+        raise KeyError(f"unknown column {group_col}")
+    if spec_.kind in ("intlist", "floatlist", "map") or "." in group_col:
+        raise TypeError(
+            f"scan_count_by needs a top-level scalar group column, got "
+            f"{group_col!r} ({spec_.kind})"
+        )
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    gmin = F.col(f"`{group_col}__min`")
+    gmax = F.col(f"`{group_col}__max`")
+    gnulls = F.col(f"`{group_col}__nulls`")
+    n_rows = F.col("n_rows").cast("long")
+    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
+    keep_mask = where.keep(opts) if where is not None else F.lit(True)
+    single = (
+        gmin.isNotNull() & gmax.isNotNull() & (gmin == gmax)
+        & (F.coalesce(gnulls, F.lit(-1)) == 0)
+    )
+    all_null = F.coalesce(gnulls, F.lit(-1)) == F.col("n_rows")
+    sure_mask = where_sure & (single | all_null)
+    sure = (
+        blocks.filter(sure_mask)
+        .groupBy(F.when(gnulls == 0, gmin).alias(group_col))
+        .agg(F.sum(n_rows).cast("long").alias("cnt"))
+    )
+    boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
+    if boundary_blocks.isEmpty():  # skip the zero-row mapInArrow stage
+        return sure
+    proj = sorted(
+        {group_col} | ({c.split(".")[0] for c in where.columns()} if where else set())
+    )
+    boundary = (
+        scan(boundary_blocks, schema, where=where, columns=proj)
+        .groupBy(F.col(f"`{group_col}`"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        sure.unionAll(boundary)
+        .groupBy(F.col(f"`{group_col}`"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 _MINMAX_EXACT_KINDS = ("int", "timestamp", "duration", "decimal", "float")
 
 

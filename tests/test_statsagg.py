@@ -144,3 +144,87 @@ class TestScanMinMax:
         ).collect()[0]
         assert (r.mn, r.mx) == (e.mn, e.mx)
         assert isinstance(r.mn, decimal.Decimal)
+
+
+class TestScanCountBy:
+    def test_group_by_sorted_column_matches(self, spark, table):
+        from aisle_spark.pipeline import scan_count_by
+
+        df, blocks, schema = table
+        got = {
+            (r[0], r.cnt)
+            for r in scan_count_by(blocks, schema, "source").collect()
+        }
+        exp = {
+            (r[0], r[1])
+            for r in df.groupBy("source").count().collect()
+        }
+        assert got == exp
+        # the sorted layout makes MOST blocks single-valued on source
+        single = blocks.filter(
+            F.col("source__min").isNotNull()
+            & (F.col("source__min") == F.col("source__max"))
+            & (F.col("source__nulls") == 0)
+        ).count()
+        assert single > 0  # interior blocks of each sorted source run
+
+    def test_group_by_with_where(self, spark, table):
+        from aisle_spark.pipeline import scan_count_by
+
+        df, blocks, schema = table
+        got = {
+            (r[0], r.cnt)
+            for r in scan_count_by(
+                blocks, schema, "source", where=col("n_tok") > 500
+            ).collect()
+        }
+        exp = {
+            (r[0], r[1])
+            for r in df.filter("n_tok > 500").groupBy("source").count().collect()
+        }
+        assert got == exp
+
+    def test_null_groups_counted(self, spark):
+        from aisle_spark.pipeline import scan_count_by
+
+        df = spark.range(3000).selectExpr(
+            "id",
+            "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('g', id % 2) END AS g",
+        )
+        blocks = encode_table(df, parts=2, block_rows=256, sort_cols=["g"])
+        schema = arrow_schema_of(df)
+        got = {
+            (r[0], r.cnt)
+            for r in scan_count_by(blocks, schema, "g").collect()
+        }
+        exp = {(r[0], r[1]) for r in df.groupBy("g").count().collect()}
+        assert got == exp  # includes the NULL group
+
+    def test_random_predicates_match(self, spark, table):
+        import random
+
+        from tests.test_random_predicates import _rand_spec
+        from aisle_spark.pipeline import scan_count_by
+
+        df, blocks, schema = table
+        rng = random.Random(77)
+        for _ in range(6):
+            spec = _rand_spec(rng)
+            got = {
+                (r[0], r.cnt)
+                for r in scan_count_by(
+                    blocks, schema, "source", where=spec
+                ).collect()
+            }
+            exp = {
+                (r[0], r[1])
+                for r in df.filter(spec.residual()).groupBy("source").count().collect()
+            }
+            assert got == exp, repr(spec)
+
+    def test_list_or_dotted_group_rejected(self, spark, table):
+        from aisle_spark.pipeline import scan_count_by
+
+        _df, blocks, schema = table
+        with pytest.raises(TypeError):
+            scan_count_by(blocks, schema, "tokens")
