@@ -618,6 +618,18 @@ def _count_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sum_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-only SUM pushdown on a decimal money column: sure blocks
+    contribute their overflow-guarded unscaled __sum without decode; the
+    whole computation stays in the exact integer domain."""
+    from aisle_spark.pipeline import scan_sum
+
+    blocks, schema = _encoded(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_price"], "dec", _li_decimal
+    )
+    return scan_sum(blocks, schema, "l_price", where=col("l_returnflag") == "A")
+
+
 def _count_by_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-BY count from block evidence: single-valued blocks on the
     sort-leading column contribute (value, n_rows) without decode."""
@@ -766,6 +778,11 @@ _DS_QUERIES = {
         _count_by_pushdown_query,
         "SELECT l_returnflag, count(*) AS cnt FROM lineitem "
         "WHERE l_quantity <= 45.0 GROUP BY l_returnflag",
+    ),
+    "lineitem_sum_pushdown": (
+        _sum_pushdown_query,
+        "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) "
+        "AS DECIMAL(38,2)) AS total FROM lineitem WHERE l_returnflag = 'A'",
     ),
     # typed (epoch-µs) manifest-list bounds: planning drops whole files
     # for the archetypal event-table time-range scan

@@ -309,6 +309,18 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
         out[f"{c}__min"] = _stat_scalar(spec, st["min"])
         out[f"{c}__max"] = _stat_scalar(spec, st["max"])
         out[f"{c}__distinct"] = st["distinct"]
+        if spec.kind != "timestamp":
+            # exact non-null sum when it provably fits int64
+            # (max|v| * n < 2^62); otherwise NULL = unknown and scan_sum
+            # decodes the block. np.sum is SIMD — free at encode scale.
+            if not st["n"]:
+                out[f"{c}__sum"] = 0
+            elif max(abs(int(st["min"])), abs(int(st["max"]))) * st["n"] < (
+                1 << 62
+            ):
+                out[f"{c}__sum"] = int(np.sum(vals, dtype=np.int64))
+            else:
+                out[f"{c}__sum"] = None
         cs = chunk_stats_int(vals, valid, n)
         out[f"{c}__chunk_min"], out[f"{c}__chunk_max"] = cs["min"], cs["max"]
         out[f"{c}__chunk_nulls"] = cs["nulls"]

@@ -1161,6 +1161,98 @@ def scan_count(
     )
 
 
+def scan_sum(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    column: str,
+    where: "Spec | str | None" = None,
+    opts: "PruneOptions | None" = None,
+) -> DataFrame:
+    """``SELECT sum(col) WHERE …`` from block statistics: blocks proven
+    all-true whose per-block ``__sum`` is recorded (overflow-guarded at
+    encode) contribute it without decoding; boundary blocks — and blocks
+    whose sum overflowed the guard — decode and sum exactly. EXACT
+    domains only: integers and decimals (decimal sums run in the
+    unscaled-integer domain, so no rounding ever happens); float sums
+    are order-dependent and deliberately unsupported — use scan + agg.
+
+    Returns a one-row DataFrame ``(total)`` — bigint for ints, decimal
+    (38, s) for decimal(p, s) columns; NULL when no rows match."""
+    import pyarrow as _pa
+
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+    from aisle_spark.schema import specs_for_schema
+
+    opts = opts or DEFAULT_OPTIONS
+    spec_ = next(
+        (s for s in specs_for_schema(schema) if s.name == column), None
+    )
+    if spec_ is None:
+        raise KeyError(f"unknown column {column}")
+    is_decimal = spec_.kind == "decimal"
+    if not (
+        is_decimal
+        or (
+            spec_.kind == "int"
+            and not _pa.types.is_date(spec_.arrow_type)
+            and not _pa.types.is_boolean(spec_.arrow_type)
+        )
+    ):
+        raise TypeError(
+            f"scan_sum supports integer and decimal columns; {column!r} is "
+            f"{spec_.kind} (float sums are order-dependent — use scan + agg)"
+        )
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    sum_name = f"{column}__sum"
+    has_sums = sum_name in blocks.columns  # pre-r4 tables: decode it all
+    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
+    keep_mask = where.keep(opts) if where is not None else F.lit(True)
+    sure_mask = (
+        (where_sure & F.col(f"`{sum_name}`").isNotNull())
+        if has_sums
+        else F.lit(False)
+    )
+    # accumulate in decimal(38,0): millions of int64 block sums can
+    # exceed int64; 38 digits cannot be exceeded by any real table
+    sure = blocks.filter(sure_mask).agg(
+        F.sum(F.col(f"`{sum_name}`").cast("decimal(38,0)")).alias("t")
+    )
+    boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
+    scale = spec_.arrow_type.scale if is_decimal else 0
+
+    def finish(total: Column) -> Column:
+        if not is_decimal:
+            return total.cast("long").alias("total")
+        # unscaled -> decimal(38, s); the quotient is exact by
+        # construction (the unscaled total has >= s trailing digits)
+        return (
+            (total / F.lit(10**scale)).cast(f"decimal(38,{scale})")
+        ).alias("total")
+
+    if boundary_blocks.isEmpty():
+        return sure.select(finish(F.col("t")))
+    proj = sorted(
+        {column.split(".")[0]}
+        | ({c.split(".")[0] for c in where.columns()} if where else set())
+    )
+    bval = F.col(column) if "." in column else F.col(f"`{column}`")
+    if is_decimal:
+        bval = (bval * F.lit(10**scale)).cast("decimal(38,0)")
+    else:
+        bval = bval.cast("decimal(38,0)")
+    boundary = scan(boundary_blocks, schema, where=where, columns=proj).agg(
+        F.sum(bval).alias("t")
+    )
+    return (
+        sure.unionAll(boundary)
+        .agg(F.sum("t").alias("t"))
+        .select(finish(F.col("t")))
+    )
+
+
 def scan_count_by(
     blocks: DataFrame,
     schema: pa.Schema,

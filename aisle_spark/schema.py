@@ -291,6 +291,11 @@ def blocks_arrow_schema(specs: list[ColumnSpec]) -> pa.Schema:
                 fields.append(pa.field(f"{c}__bloom", pa.list_(pa.int64())))
             if s.kind in ("int", "timestamp", "duration", "decimal"):
                 fields.append(pa.field(f"{c}__distinct", pa.int64()))
+            if s.kind in ("int", "duration", "decimal"):
+                # per-block SUM of non-null values (unscaled for decimal),
+                # overflow-guarded at encode (NULL = unknown => that block
+                # decodes in scan_sum) — feeds the stats-only SUM pushdown
+                fields.append(pa.field(f"{c}__sum", pa.int64()))
             # per-chunk (page-index analog) stats, consumed by the
             # in-reader refinement — aisle's page-level granularity
             # (/root/reference/src/prune/page.rs:71-137)

@@ -228,3 +228,75 @@ class TestScanCountBy:
         _df, blocks, schema = table
         with pytest.raises(TypeError):
             scan_count_by(blocks, schema, "tokens")
+
+
+class TestScanSum:
+    def test_int_sum_matches(self, spark, table):
+        from aisle_spark.pipeline import scan_sum
+
+        df, blocks, schema = table
+        for sql in (None, "source = 'web'", "n_tok BETWEEN 50 AND 4000"):
+            spec = None
+            if sql:
+                from aisle_spark.sqlcompile import parse_where
+
+                spec = parse_where(sql)
+            got = scan_sum(blocks, schema, "n_tok", where=spec).collect()[0].total
+            base = df.filter(sql) if sql else df
+            exp = base.agg(F.sum("n_tok")).collect()[0][0]
+            assert got == exp, sql
+
+    def test_decimal_sum_exact(self, spark):
+        import decimal
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import scan_sum
+
+        df = spark.range(5000).selectExpr(
+            "id", "cast(id * 1.37 as decimal(14,2)) AS amt",
+            "cast(id % 7 as int) AS g",
+        )
+        blocks = encode_table(df, parts=2, block_rows=512, sort_cols=["g", "amt"])
+        schema = arrow_schema_of(df)
+        got = scan_sum(blocks, schema, "amt", where=col("g") <= 3).collect()[0].total
+        exp = df.filter("g <= 3").agg(F.sum("amt")).collect()[0][0]
+        assert isinstance(got, decimal.Decimal)
+        assert got == exp
+
+    def test_overflow_guard_falls_back(self, spark):
+        from aisle_spark.pipeline import scan_sum
+
+        big = 1 << 53  # 600 rows x 2^53 trips the 2^62 per-block guard
+        df = spark.range(600).selectExpr(f"id", f"id + {big} AS v")
+        blocks = encode_table(df, parts=1, block_rows=1024)
+        schema = arrow_schema_of(df)
+        # __sum must be NULL (unknown) on these blocks...
+        assert blocks.filter(F.col("v__sum").isNotNull()).count() == 0
+        # ...and the result still exact via decode fallback
+        got = scan_sum(blocks, schema, "v").collect()[0].total
+        exp = df.agg(F.sum("v")).collect()[0][0]
+        assert got == exp
+
+    def test_nulls_excluded(self, spark):
+        from aisle_spark.pipeline import scan_sum
+
+        df = spark.range(3000).selectExpr(
+            "id", "CASE WHEN id % 5 = 0 THEN NULL ELSE id END AS v"
+        )
+        blocks = encode_table(df, parts=2, block_rows=256)
+        schema = arrow_schema_of(df)
+        got = scan_sum(blocks, schema, "v").collect()[0].total
+        exp = df.agg(F.sum("v")).collect()[0][0]
+        assert got == exp
+
+    def test_empty_is_null_and_float_rejected(self, spark, table):
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import scan_sum
+
+        df, blocks, schema = table
+        got = scan_sum(blocks, schema, "n_tok", where=col("n_tok") > 10**9)
+        assert got.collect()[0].total is None
+        fdf = spark.range(10).selectExpr("id", "cast(id as double) AS x")
+        fb = encode_table(fdf, parts=1)
+        with pytest.raises(TypeError, match="order-dependent"):
+            scan_sum(fb, arrow_schema_of(fdf), "x")
