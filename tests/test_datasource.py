@@ -1088,3 +1088,80 @@ class TestNullCountFileStats:
             .count()
         )
         assert got == 300
+
+
+class TestTypedFileKeepSoundness:
+    """Randomized superset property over the TYPED domains (timestamp/
+    date/decimal/duration/null-counts): stripping file_stats must never
+    change the surviving partition set — file-level pruning only removes
+    files whose every block was doomed anyway."""
+
+    def _rand_typed_spec(self, rng):
+        import datetime as dt
+        import decimal
+
+        from aisle_spark.filterspec import And, Cmp, IsNull, Or
+
+        utc = dt.timezone.utc
+
+        def leaf():
+            kind = rng.choice(["ts", "d", "price", "dur", "n", "null"])
+            if kind == "ts":
+                v = dt.datetime(2024, 1, 1, tzinfo=utc) + dt.timedelta(
+                    minutes=rng.randint(-100, 3100)
+                )
+                return Cmp("ts", rng.choice(["lt", "le", "gt", "ge", "eq"]), v)
+            if kind == "d":
+                v = dt.date(2024, 1, 1) + dt.timedelta(days=rng.randint(-2, 33))
+                return Cmp("d", rng.choice(["lt", "le", "gt", "ge"]), v)
+            if kind == "price":
+                v = decimal.Decimal(rng.randint(-100, 330000)) / 100
+                return Cmp("price", rng.choice(["lt", "le", "gt", "ge"]), v)
+            if kind == "dur":
+                v = dt.timedelta(seconds=rng.randint(-10, 3100))
+                return Cmp("dur", rng.choice(["lt", "le", "gt", "ge"]), v)
+            if kind == "n":
+                return Cmp("n", rng.choice(["lt", "le", "gt", "ge", "eq"]),
+                           rng.randint(-10, 3100))
+            return IsNull("ts", negated=rng.random() < 0.5)
+
+        spec = leaf()
+        for _ in range(rng.randint(0, 2)):
+            spec = (And if rng.random() < 0.7 else Or)([spec, leaf()])
+        return spec
+
+    def test_superset_property_random(self, spark, tmp_path):
+        import random
+
+        register(spark)
+        out = str(tmp_path / "typedsound")
+        df = spark.range(3000).selectExpr(
+            "concat('e', id) AS eid",
+            "timestamp'2024-01-01' + make_dt_interval(0, 0, cast(id as int), 0) AS ts",
+            "date_add(date'2024-01-01', cast(id / 100 as int)) AS d",
+            "cast(id + 0.25 as decimal(12,2)) AS price",
+            "make_dt_interval(0, 0, 0, cast(id as int)) AS dur",
+            "cast(id as int) AS n",
+        )
+        third = 1000
+        for lo in (0, third, 2 * third):
+            df.filter(f"n >= {lo} AND n < {lo + third}").repartition(
+                1
+            ).write.format("aisle").option("sortCols", "ts").mode("append").save(out)
+        manifest = os.path.join(out, "_aisle_files.json")
+        m = json.load(open(manifest))
+        rng = random.Random(4242)
+        for _ in range(25):
+            spec = self._rand_typed_spec(rng)
+            r = AisleReader(out)
+            r.spec = spec
+            with_stats = {p.path: p.rows for p in r.partitions()}
+            stripped = dict(m, file_stats={})
+            json.dump(stripped, open(manifest, "w"))
+            try:
+                r2 = AisleReader(out)
+                r2.spec = spec
+                without = {p.path: p.rows for p in r2.partitions()}
+            finally:
+                json.dump(m, open(manifest, "w"))
+            assert with_stats == without, repr(spec)
