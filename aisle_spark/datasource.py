@@ -546,12 +546,14 @@ class AisleStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str, where: str | None = None,
                  columns: list[str] | None = None,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 max_bytes_per_trigger: int | None = None):
         self.fs, self.path = _fs_of(path)
         self.arrow_schema = _read_sidecar_schema(self.fs, self.path)
         self.out_schema = _project_schema(self.arrow_schema, columns)
         self.exact_where: Spec | None = None
         self._max_files = max_files_per_trigger
+        self._max_bytes = max_bytes_per_trigger
         # last offset this reader planned or committed — the anchor the
         # rate limiter advances from. None right after a restart: the
         # first latestOffset() then runs uncapped (the Python stream API
@@ -615,46 +617,97 @@ class AisleStreamReader(DataSourceStreamReader):
 
         versions = list_snapshots(self.fs, self.path.rstrip("/"))
         latest = versions[-1] if versions else 0
-        cap, cur = self._max_files, self._cursor
-        if not cap or latest == 0:
+        cap_f, cap_b, cur = self._max_files, self._max_bytes, self._cursor
+        if (not cap_f and not cap_b) or latest == 0:
             return {"version": latest}
         if cur is None:
             cur = {"version": 0}
-        budget = cap
+
+        def sizer(snap):
+            st = snap.get("file_stats", {})
+
+            def size(f):
+                b = (st.get(f) or {}).get("__bytes")
+                # unknown size (legacy commit) counts 0 toward the byte
+                # budget — file-count capping still bounds those batches
+                return int(b) if isinstance(b, int) else 0
+
+            return size
+
+        # pending = every unemitted file with the offset that would
+        # follow it, in emission order (same order _new_files replays)
+        pend: list[tuple[int, dict]] = []
         v = int(cur.get("version", 0))
         if cur.get("backfill_v") is not None:
-            # mid-backfill: keep draining the pinned snapshot-L list
             bv = int(cur["backfill_v"])
-            files = self._read_snap(bv)["files"]
+            snap = self._read_snap(bv)
+            files, size = snap["files"], sizer(snap)
             done = int(cur["pos"])
-            if len(files) - done > budget:
-                return {"version": 0, "backfill_v": bv, "pos": done + budget}
-            budget -= len(files) - done
-            v = bv  # backfill drained: complete through L, walk onward
+            for i in range(done, len(files)):
+                off = (
+                    {"version": 0, "backfill_v": bv, "pos": i + 1}
+                    if i + 1 < len(files)
+                    else {"version": bv}
+                )
+                pend.append((size(files[i]), off))
+            start_w = bv
         elif v == 0:
             # fresh stream: pin the backfill list to the CURRENT snapshot
             # (compacted/vacuumed history must never be read)
-            files = self._read_snap(latest)["files"]
-            if len(files) > budget:
-                return {"version": 0, "backfill_v": latest, "pos": budget}
+            snap = self._read_snap(latest)
+            files, size = snap["files"], sizer(snap)
+            for i, f in enumerate(files):
+                off = (
+                    {"version": 0, "backfill_v": latest, "pos": i + 1}
+                    if i + 1 < len(files)
+                    else {"version": latest}
+                )
+                pend.append((size(f), off))
+            start_w = latest
+        else:
+            start_w = v
+            if cur.get("pos") is not None:
+                adds = self._additions(v)
+                size = sizer(self._read_snap(v))
+                done = int(cur["pos"])
+                for i in range(done, len(adds)):
+                    off = (
+                        {"version": v, "pos": i + 1}
+                        if i + 1 < len(adds)
+                        else {"version": v}
+                    )
+                    pend.append((size(adds[i]), off))
+        for w in range(start_w + 1, latest + 1):
+            adds = self._additions(w)
+            size = sizer(self._read_snap(w))
+            for i, f in enumerate(adds):
+                off = (
+                    {"version": w, "pos": i + 1}
+                    if i + 1 < len(adds)
+                    else {"version": w}
+                )
+                pend.append((size(f), off))
+        if not pend:
             return {"version": latest}
-        elif cur.get("pos") is not None:
-            adds = self._additions(v)
-            done = int(cur["pos"])
-            if len(adds) - done > budget:
-                return {"version": v, "pos": done + budget}
-            budget -= len(adds) - done
-        w = v
-        while w < latest:
-            nxt = self._additions(w + 1)
-            if len(nxt) > budget:
-                if budget == 0:
-                    break  # emit up to w complete; never a pos-0 offset
-                w += 1
-                return {"version": w, "pos": budget}
-            budget -= len(nxt)
-            w += 1
-        return {"version": w}
+        # soft limits, always >= 1 file of progress: stop BEFORE file
+        # k+1 when k files are taken (maxFiles) or the byte budget is
+        # already consumed (maxBytes — one oversized file may exceed it,
+        # the standard soft-max contract)
+        taken_b = 0
+        last_off: dict | None = None
+        n_taken = 0
+        for size, off in pend:
+            if n_taken > 0:
+                if cap_f and n_taken >= cap_f:
+                    break
+                if cap_b and taken_b >= cap_b:
+                    break
+            taken_b += size
+            last_off = off
+            n_taken += 1
+        if n_taken == len(pend):
+            return {"version": latest}  # everything pending fits
+        return last_off
 
     def _new_files(self, start: dict, end: dict) -> tuple[list[str], dict]:
         """Manifest-relative files a stream must emit for (start, end],
@@ -1077,6 +1130,15 @@ class AisleWriter(DataSourceArrowWriter):
             for c, v in json_stats.items()
             if v[0] is not None or v[1] is not None or v[2] is not None
         }
+        if "__bytes" not in json_stats:  # a real column of that name wins
+            try:
+                json_stats["__bytes"] = (
+                    os.path.getsize(target)
+                    if self.fs is None
+                    else int(self.fs.get_file_info(target).size)
+                )
+            except OSError:
+                pass  # size is rate-limiter advice only; never fail commit
         return AisleCommit(filename=name, n_blocks=n_blocks, stats=json_stats)
 
     def commit(self, messages: list[AisleCommit]) -> None:
@@ -1145,9 +1207,12 @@ class AisleDataSource(DataSource):
       Ordinary ``.filter()`` predicates are pushed down automatically —
       this option exists for predicate shapes Spark cannot push (IN over
       many values survives, BETWEEN, LIKE patterns, OR trees).
-    * ``maxFilesPerTrigger`` — stream-read path: cap on NEW files per
-      micro-batch, including the initial backfill (a fresh stream over a
-      10^5-file table otherwise reads everything in one batch).
+    * ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` — stream-read
+      path: caps on NEW files / bytes per micro-batch (soft max: one
+      oversized file may exceed the byte budget), including the initial
+      backfill (a fresh stream over a 10^5-file table otherwise reads
+      everything in one batch). Byte costs come from per-file ``__bytes``
+      recorded at every commit; files from pre-r4 commits count zero.
       Sub-version offsets stay self-contained and exactly-once across
       restarts; with Trigger.AvailableNow each RUN advances one bounded
       batch (the Python DataSource API exposes no admission control).
@@ -1201,14 +1266,19 @@ class AisleDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> AisleStreamReader:
+        # Spark lower-cases DataFrameReader option keys
         mft = self.options.get("maxFilesPerTrigger") or self.options.get(
-            "maxfilespertrigger"  # Spark lower-cases DataFrameReader options
+            "maxfilespertrigger"
+        )
+        mbt = self.options.get("maxBytesPerTrigger") or self.options.get(
+            "maxbytespertrigger"
         )
         return AisleStreamReader(
             self._path(),
             where=self.options.get("where"),
             columns=self._columns(),
             max_files_per_trigger=int(mft) if mft else None,
+            max_bytes_per_trigger=int(mbt) if mbt else None,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> AisleWriter:

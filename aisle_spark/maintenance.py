@@ -34,6 +34,7 @@ Other schemes (s3a:// etc.) work wherever both layers carry the scheme.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import SparkSession
@@ -211,6 +212,19 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
                 stats[c] = [mn, mx, nl, rows_total or 0]
         if stats:
             out[rel] = stats
+    # per-file byte sizes feed the stream reader's maxBytesPerTrigger;
+    # advice only — a failed stat never fails maintenance
+    for rel in list(out):
+        if "__bytes" in out[rel]:
+            continue  # a real column of that name wins
+        try:
+            out[rel]["__bytes"] = (
+                os.path.getsize(f"{root}/{rel}")
+                if fs is None
+                else int(fs.get_file_info(f"{root}/{rel}").size)
+            )
+        except OSError:
+            pass
     return out
 
 

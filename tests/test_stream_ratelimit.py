@@ -192,3 +192,58 @@ class TestEndToEnd:
         # strict forward progress per run, no duplicates, full table read
         assert counts == sorted(counts)
         assert counts[-1] == df.count()
+
+
+class TestMaxBytesPerTrigger:
+    def test_manifest_records_file_sizes(self, table):
+        import json
+
+        _df, out = table
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        for f in m["files"]:
+            b = m["file_stats"][f].get("__bytes")
+            assert isinstance(b, int) and b > 0
+            assert b == os.path.getsize(os.path.join(out, f))
+
+    def test_byte_budget_bounds_batches(self, table):
+        import json
+
+        _df, out = table
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        sizes = {f: m["file_stats"][f]["__bytes"] for f in m["files"]}
+        avg = sum(sizes.values()) // len(sizes)
+        # soft max at ~1.5 files: every batch stops after the file that
+        # crosses the budget => at most 2 files per batch, >= 3 batches
+        r = AisleStreamReader(out, max_bytes_per_trigger=int(avg * 1.5))
+        batches = _drain(r)
+        assert all(len(b) <= 2 for b in batches)
+        assert len(batches) >= 3
+        emitted = [f for b in batches for f in b]
+        assert len(emitted) == len(set(emitted)) == len(sizes)
+
+    def test_bytes_and_files_combine(self, table):
+        _df, out = table
+        r = AisleStreamReader(
+            out, max_files_per_trigger=1, max_bytes_per_trigger=10**12
+        )
+        batches = _drain(r)
+        assert all(len(b) == 1 for b in batches) and len(batches) == 6
+
+    def test_oversized_file_still_progresses(self, table):
+        _df, out = table
+        r = AisleStreamReader(out, max_bytes_per_trigger=1)  # every file bigger
+        batches = _drain(r)
+        assert all(len(b) == 1 for b in batches) and len(batches) == 6
+
+    def test_compaction_recompute_records_sizes(self, spark, table):
+        import json
+
+        from aisle_spark.maintenance import compact_encoded
+
+        _df, out = table
+        compact_encoded(spark, out, target_files=2)
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        for f in m["files"]:
+            assert m["file_stats"][f]["__bytes"] == os.path.getsize(
+                os.path.join(out, f)
+            )
