@@ -268,31 +268,37 @@ def vacuum_encoded(
     import time
 
     now = time.time()
+    cand: list[tuple[str, str]] = []
     for p, _size in entries:
         rel = p[len(root) + 1 :] if p.startswith(root + "/") else p
-        if rel in keep:
-            continue
-        if min_age_seconds > 0:
-            if fs is None:
-                import os
-
+        if rel not in keep:
+            cand.append((p, rel))
+    if min_age_seconds > 0 and cand:
+        if fs is None:
+            ages = []
+            for p, _rel in cand:
                 try:
-                    age = now - os.path.getmtime(p)
+                    ages.append(now - os.path.getmtime(p))
                 except OSError:
-                    continue
-            else:
-                info = fs.get_file_info(p)
+                    ages.append(float("-inf"))  # vanished: skip below
+        else:
+            # ONE batched stat call instead of a round-trip per candidate
+            infos = fs.get_file_info([p for p, _rel in cand])
+            ages = []
+            for info in infos:
                 mtime = getattr(info, "mtime", None)
-                age = (
+                ages.append(
                     now - mtime.timestamp() if mtime is not None else float("inf")
                 )
-            if age < min_age_seconds:
-                continue
-        victims.append(rel)
+        victims.extend(
+            rel for (_p, rel), age in zip(cand, ages) if age >= min_age_seconds
+        )
+    else:
+        victims.extend(rel for _p, rel in cand)
     if not dry_run:
-        import os
+        from aisle_spark.datasource import _parallel_fetch
 
-        for rel in victims:
+        def _delete(rel: str) -> None:
             target = f"{root}/{rel}"
             try:
                 if fs is None:
@@ -301,6 +307,10 @@ def vacuum_encoded(
                     fs.delete_file(target)
             except OSError:
                 pass
+
+        # bounded-concurrency deletes: 1e5 orphans x ~50ms store
+        # round-trips must overlap, same as planning fetches
+        _parallel_fetch(_delete, victims)
     return sorted(victims)
 
 
