@@ -1025,17 +1025,43 @@ def scan(
             raise KeyError(f"unknown predicate column {p}")
 
     # flat decode set = projection leaves ∪ predicate leaves ∪ the
-    # __defined chain of every struct a predicate leaf lives in
+    # __defined chain of every struct a predicate leaf lives in.
+    # Projections may name nested leaves ("meta.lang"): only those
+    # leaves (plus the validity chain) decode, and the output carries a
+    # PARTIAL struct under the top-level name — the leaf-granular
+    # ProjectionMask semantics of the reference
+    # (/root/reference/src/prune/result.rs:59-86).
     flat_need: list[str] = []
     struct_needed: dict[str, set] = {}
+    out_tops: list[str] = []
     for c in out_cols:
         fld = top_fields.get(c)
+        if fld is None and "." in c:
+            top = c.split(".")[0]
+            tfld = top_fields.get(top)
+            if tfld is None or not pa.types.is_struct(tfld.type):
+                raise KeyError(f"unknown column {c}")
+            ls = leaves_under(schema, c)
+            parts_c = c.split(".")
+            defined_chain = [
+                ".".join(parts_c[:d]) + ".__defined"
+                for d in range(1, len(parts_c))
+                if ".".join(parts_c[:d]) + ".__defined" in spec_names
+            ]
+            flat_need.extend([*ls, *defined_chain])
+            struct_needed.setdefault(top, set()).update([*ls, *defined_chain])
+            if top not in out_tops:
+                out_tops.append(top)
+            continue
         if fld is None:
             raise KeyError(f"unknown column {c}")
         ls = leaves_under(schema, c)
         flat_need.extend(ls)
         if pa.types.is_struct(fld.type):
             struct_needed.setdefault(c, set()).update(ls)
+        if c not in out_tops:
+            out_tops.append(c)
+    out_cols = out_tops
     for p in pred_leaves:
         flat_need.append(p)
         parts = p.split(".")

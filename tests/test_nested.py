@@ -235,3 +235,75 @@ def test_scan_nested_predicate_end_to_end(spark):
     full = scan(blocks, schema).orderBy("doc_id").collect()
     assert full == df.orderBy("doc_id").collect()
     blocks.unpersist()
+
+
+class TestLeafProjection:
+    """scan(columns=["meta.lang"]) decodes ONLY that leaf (+ validity
+    chain) and yields a PARTIAL struct — the leaf-granular
+    ProjectionMask semantics of the reference (r4)."""
+
+    @pytest.fixture(scope="class")
+    def encoded(self, spark):
+        from aisle_spark.pipeline import encode_table
+
+        tbl = _table(3000, null_every=7)
+        df = spark.createDataFrame(tbl)
+        blocks = encode_table(df, parts=2, block_rows=512).persist()
+        blocks.count()
+        yield df, blocks
+        blocks.unpersist()
+
+    def test_partial_struct_output(self, spark, encoded):
+        from aisle_spark.pipeline import scan
+
+        df, blocks = encoded
+        got = scan(blocks, SCHEMA, columns=["doc_id", "meta.lang"])
+        assert [f.name for f in got.schema.fields] == ["doc_id", "meta"]
+        meta_t = dict(got.schema["meta"].dataType.jsonValue(), type=None)
+        assert [f["name"] for f in meta_t["fields"]] == ["lang"]
+        g = sorted(
+            (r.doc_id, r.meta.lang if r.meta is not None else None)
+            for r in got.collect()
+        )
+        e = sorted(
+            (r.doc_id, r.meta.lang if r.meta is not None else None)
+            for r in df.collect()
+        )
+        assert g == e  # incl. NULL structs preserved as NULL
+
+    def test_untouched_leaf_payload_never_read(self, spark, encoded):
+        """Dropping the un-projected leaf's payload column must not
+        break the scan — proof the plan never references it."""
+        from aisle_spark.pipeline import scan
+
+        df, blocks = encoded
+        crippled = blocks.drop("meta.score__payload")
+        got = scan(crippled, SCHEMA, columns=["meta.lang"])
+        assert got.count() == df.count()
+        # whereas a full-struct projection genuinely needs it
+        with pytest.raises(Exception):
+            scan(crippled, SCHEMA, columns=["meta"]).count()
+
+    def test_dotted_projection_with_predicate(self, spark, encoded):
+        from aisle_spark.pipeline import scan
+
+        df, blocks = encoded
+        got = scan(
+            blocks, SCHEMA, where=col("meta.score") > 1500,
+            columns=["meta.lang"],
+        )
+        e = [r for r in df.collect() if r.meta is not None and r.meta.score > 1500]
+        assert got.count() == len(e)
+
+    def test_merged_partial_and_unknown_leaf(self, spark, encoded):
+        from aisle_spark.pipeline import scan
+
+        _df, blocks = encoded
+        # two dotted leaves of the same struct merge into one struct
+        got = scan(blocks, SCHEMA, columns=["meta.lang", "meta.score"])
+        meta_t = got.schema["meta"].dataType
+        assert [f.name for f in meta_t.fields] == ["lang", "score"]
+        with pytest.raises(KeyError):
+            scan(blocks, SCHEMA, columns=["meta.nope"])
+        with pytest.raises(KeyError):
+            scan(blocks, SCHEMA, columns=["doc_id.x"])
