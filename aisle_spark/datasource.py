@@ -286,13 +286,71 @@ def _validate_exact_where(spec: Spec, arrow_schema: pa.Schema) -> None:
 
 
 def _project_schema(arrow: pa.Schema, columns: list[str] | None) -> pa.Schema:
+    """Projected output schema; dotted names ("meta.lang") select nested
+    leaves and produce PARTIAL structs — the reader then decodes only
+    those leaves (plus validity chains), the leaf-granular
+    ProjectionMask semantics shared with ``scan(columns=...)`` (r4)."""
     if not columns:
         return arrow
+    from aisle_spark.schema import leaves_under, specs_for_schema
+
     by_name = {arrow.field(i).name: arrow.field(i) for i in range(len(arrow))}
-    missing = [c for c in columns if c not in by_name]
-    if missing:
-        raise ValueError(f"columns option: unknown columns {missing}")
-    return pa.schema([by_name[c] for c in columns])
+    spec_names = {s.name for s in specs_for_schema(arrow)}
+    needed: dict[str, set] = {}
+    order: list[str] = []
+    whole: set[str] = set()
+    for c in columns:
+        if c in by_name:
+            top = c
+            whole.add(c)
+        elif "." in c:
+            top = c.split(".")[0]
+            tfld = by_name.get(top)
+            if tfld is None or not pa.types.is_struct(tfld.type):
+                raise ValueError(f"columns option: unknown columns [{c!r}]")
+            try:
+                ls = leaves_under(arrow, c)
+            except KeyError:
+                raise ValueError(f"columns option: unknown columns [{c!r}]")
+            parts = c.split(".")
+            chain = [
+                ".".join(parts[:d]) + ".__defined"
+                for d in range(1, len(parts))
+                if ".".join(parts[:d]) + ".__defined" in spec_names
+            ]
+            needed.setdefault(top, set()).update([*ls, *chain])
+        else:
+            raise ValueError(f"columns option: unknown columns [{c!r}]")
+        if top not in order:
+            order.append(top)
+    from aisle_spark.pipeline import _partial_struct_type
+
+    fields = []
+    for top in order:
+        f = by_name[top]
+        if top in whole or not pa.types.is_struct(f.type):
+            fields.append(f)
+        else:
+            fields.append(
+                pa.field(top, _partial_struct_type(f, "", needed[top]), f.nullable)
+            )
+    return pa.schema(fields)
+
+
+def _partial_leaves(spec_names: set, fld: pa.Field, prefix: str = "") -> list[str]:
+    """Dotted leaf + validity-leaf names described by a (possibly
+    PARTIAL) struct field — the decode set of exactly what the field's
+    type carries, nothing more."""
+    name = prefix + fld.name
+    if not pa.types.is_struct(fld.type):
+        return [name]
+    out = []
+    d = f"{name}.__defined"
+    if d in spec_names:
+        out.append(d)
+    for i in range(fld.type.num_fields):
+        out += _partial_leaves(spec_names, fld.type.field(i), name + ".")
+    return out
 
 
 class AisleReader(DataSourceReader):
@@ -444,15 +502,20 @@ def _decode_file(
 
     out_names = [out_schema.field(i).name for i in range(len(out_schema))]
     pred_cols = sorted(where.columns()) if where is not None else []
+    spec_names = {s.name for s in specs}
     flat_need: list[str] = []
     plan = []
     for i in range(len(out_schema)):
         fld = out_schema.field(i)
-        ls = leaves_under(schema, fld.name)
-        flat_need.extend(ls)
         if pa.types.is_struct(fld.type):
+            # decode exactly the leaves the (possibly partial) struct
+            # type carries — dotted `columns` projections never touch
+            # the un-projected siblings' payloads
+            ls = _partial_leaves(spec_names, fld)
+            flat_need.extend(ls)
             plan.append(("struct", fld, set(ls)))
         else:
+            flat_need.extend(leaves_under(schema, fld.name))
             plan.append(("leaf", fld.name))
     for c in pred_cols:
         if c not in flat_need:
@@ -1223,7 +1286,9 @@ class AisleDataSource(DataSource):
     * ``columns`` — read path: comma-separated projection; only these
       payloads decode (the Python DataSource contract has no
       column-pruning pushdown, so projection is an option, like
-      ``scan(columns=...)``).
+      ``scan(columns=...)``). Dotted names (``meta.lang``) select
+      nested LEAVES: the reader yields a partial struct and never
+      touches un-projected siblings' payloads.
     * ``sortCols`` — write path: comma-separated within-partition sort
       columns (tight per-block stat ranges; same knob as
       ``encode_table(sort_cols=...)``).

@@ -1165,3 +1165,89 @@ class TestTypedFileKeepSoundness:
             finally:
                 json.dump(m, open(manifest, "w"))
             assert with_stats == without, repr(spec)
+
+
+class TestLeafColumnsOption:
+    """Dotted names in the `columns` option select nested leaves: the
+    reader yields a PARTIAL struct and never references the
+    un-projected siblings' payloads (shared semantics with
+    scan(columns=...), r4)."""
+
+    @pytest.fixture()
+    def nested_table(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "nested")
+        meta_t = pa.struct(
+            [pa.field("lang", pa.string()), pa.field("score", pa.int64())]
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array([f"d{i:04d}" for i in range(2000)]),
+                pa.array(
+                    [
+                        None
+                        if i % 9 == 0
+                        else {"lang": ["en", "de", "fr"][i % 3], "score": i}
+                        for i in range(2000)
+                    ],
+                    type=meta_t,
+                ),
+            ],
+            schema=pa.schema(
+                [pa.field("doc_id", pa.string()), pa.field("meta", meta_t)]
+            ),
+        )
+        df = spark.createDataFrame(tbl)
+        df.write.format("aisle").mode("append").save(out)
+        return df, out
+
+    def test_partial_struct_through_datasource(self, spark, nested_table):
+        df, out = nested_table
+        got = (
+            spark.read.format("aisle")
+            .option("columns", "doc_id,meta.lang")
+            .load(out)
+        )
+        assert [f.name for f in got.schema.fields] == ["doc_id", "meta"]
+        assert [f.name for f in got.schema["meta"].dataType.fields] == ["lang"]
+        g = sorted(
+            (r.doc_id, r.meta.lang if r.meta is not None else None)
+            for r in got.collect()
+        )
+        e = sorted(
+            (r.doc_id, r.meta.lang if r.meta is not None else None)
+            for r in df.collect()
+        )
+        assert g == e
+
+    def test_unprojected_leaf_payload_never_read(self, spark, nested_table):
+        import pyarrow.parquet as pq
+
+        _df, out = nested_table
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        # drop the score payload from every committed block file
+        for f in m["files"]:
+            p = os.path.join(out, f)
+            t = pq.read_table(p)
+            t = t.drop_columns(["meta.score__payload"])
+            pq.write_table(t, p, compression="zstd")
+        got = (
+            spark.read.format("aisle")
+            .option("columns", "meta.lang")
+            .load(out)
+        )
+        assert got.count() == 2000  # plan never touched the dropped column
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            spark.read.format("aisle").load(out).select("meta").collect()
+
+    def test_unknown_leaf_rejected(self, spark, nested_table):
+        _df, out = nested_table
+        with pytest.raises(Exception):
+            (
+                spark.read.format("aisle")
+                .option("columns", "meta.nope")
+                .load(out)
+                .count()
+            )
