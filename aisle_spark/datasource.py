@@ -285,6 +285,52 @@ def _validate_exact_where(spec: Spec, arrow_schema: pa.Schema) -> None:
     walk(spec)
 
 
+def coerce_temporals(spec: Spec, arrow_schema: pa.Schema) -> Spec:
+    """Copy of ``spec`` with DATE literals on timestamp columns rewritten
+    to naive midnight datetimes — the same instant Catalyst's
+    ``CAST(date AS timestamp)`` produces once ``utc_normalize`` applies
+    the driver time zone. Without this the authoritative in-reader row
+    mask (the ``where`` option — Spark never re-checks it) hits
+    ``pa.scalar(date, timestamp)`` and the task dies (ADVICE r4 high,
+    second surface of the date/timestamp domain mix)."""
+    import datetime as _dt
+
+    from aisle_spark.filterspec import Between, InList, Or
+    from aisle_spark.schema import specs_for_schema
+
+    ts_cols = {
+        s.name for s in specs_for_schema(arrow_schema) if s.kind == "timestamp"
+    }
+
+    def fix(v, c):
+        if (
+            c in ts_cols
+            and isinstance(v, _dt.date)
+            and not isinstance(v, _dt.datetime)
+        ):
+            return _dt.datetime(v.year, v.month, v.day)
+        return v
+
+    def walk(node: Spec) -> Spec:
+        if isinstance(node, Cmp):
+            return Cmp(node.col, node.op, fix(node.value, node.col))
+        if isinstance(node, Between):
+            return Between(
+                node.col, fix(node.low, node.col), fix(node.high, node.col)
+            )
+        if isinstance(node, InList):
+            return InList(node.col, tuple(fix(v, node.col) for v in node.values))
+        if isinstance(node, And):
+            return And([walk(p) for p in node.parts])
+        if isinstance(node, Or):
+            return Or([walk(p) for p in node.parts])
+        if isinstance(node, Not):
+            return Not(walk(node.inner))
+        return node
+
+    return walk(spec)
+
+
 def _project_schema(arrow: pa.Schema, columns: list[str] | None) -> pa.Schema:
     """Projected output schema; dotted names ("meta.lang") select nested
     leaves and produce PARTIAL structs — the reader then decodes only
@@ -368,6 +414,9 @@ class AisleReader(DataSourceReader):
 
             self.exact_where = parse_where(where)
             _validate_exact_where(self.exact_where, self.arrow_schema)
+            self.exact_where = coerce_temporals(
+                self.exact_where, self.arrow_schema
+            )
 
     def _prune_spec(self) -> Spec | None:
         parts = [s for s in (self.spec, self.exact_where) if s is not None]
@@ -391,7 +440,8 @@ class AisleReader(DataSourceReader):
             return [AislePartition(f, None) for f in files]
         # manifest-list level: whole files drop on their [min,max] bounds
         # before a single manifest row is scanned
-        files = [f for f in files if file_keep(fstats.get(f), prune)]
+        doms = file_stat_domains(self.arrow_schema)
+        files = [f for f in files if file_keep(fstats.get(f), prune, doms)]
         if not files:
             return []
         import duckdb
@@ -627,6 +677,9 @@ class AisleStreamReader(DataSourceStreamReader):
 
             self.exact_where = parse_where(where)
             _validate_exact_where(self.exact_where, self.arrow_schema)
+            self.exact_where = coerce_temporals(
+                self.exact_where, self.arrow_schema
+            )
 
     def initialOffset(self) -> dict:
         self._cursor = {"version": 0}
@@ -770,7 +823,32 @@ class AisleStreamReader(DataSourceStreamReader):
             n_taken += 1
         if n_taken == len(pend):
             return {"version": latest}  # everything pending fits
+        if self._cursor is not None and self._off_key(last_off) < self._off_key(
+            self._cursor
+        ):  # never move the stream backward (ADVICE r4 low)
+            return dict(self._cursor)
         return last_off
+
+    @staticmethod
+    def _off_key(off: dict) -> tuple:
+        """Total order over emission progress of the three offset shapes
+        (latestOffset docstring). Used to refuse an end that orders
+        BEFORE its start: the one silent shape of the undocumented
+        runner-call-order assumption (ADVICE r4 low) is a mid-backfill
+        restart where latestOffset runs before partitions() and computes
+        a regressed ``pos`` — every other mismatch already raises as a
+        protocol violation."""
+        v = int(off.get("version", 0))
+        bf = off.get("backfill_v")
+        pos = off.get("pos")
+        if bf is not None:
+            # m files into pinned snapshot bf's list: before the
+            # completed {"version": bf}
+            return (int(bf), 0, int(pos))
+        if v == 0:
+            return (0, 0, 0)  # nothing emitted
+        # through v-1 plus pos of v's additions; no pos = v complete
+        return (v, 1, int(pos)) if pos is not None else (v, 2, 0)
 
     def _new_files(self, start: dict, end: dict) -> tuple[list[str], dict]:
         """Manifest-relative files a stream must emit for (start, end],
@@ -792,6 +870,13 @@ class AisleStreamReader(DataSourceStreamReader):
                 f"precede end={end} — restart the stream from a clean "
                 "checkpoint"
             )
+
+        # the checkpointed start is AUTHORITATIVE: an end that orders
+        # before it would move the stream backward and re-emit files
+        # (possible only if the runner's call order ever changes so
+        # latestOffset runs before partitions() seeds the cursor)
+        if self._off_key(end) < self._off_key(start):
+            raise _violation()
 
         if e_bf is not None:
             # capped backfill slice: only a fresh start or an earlier
@@ -841,18 +926,19 @@ class AisleStreamReader(DataSourceStreamReader):
         return out, stats
 
     def partitions(self, start: dict, end: dict) -> Sequence[AislePartition]:
+        new, fstats = self._new_files(start, end)  # validates start <= end
         self._cursor = dict(end)
-        new, fstats = self._new_files(start, end)
         root = self.path.rstrip("/")
         parts = [AislePartition(f"{root}/{f}", None) for f in new]
         if self.exact_where is not None and parts:
             # manifest-list pruning per micro-batch: whole new files drop
             # on their [min,max] bounds when the where option excludes them
             full_stats = {f"{root}/{k}": v for k, v in fstats.items()}
+            doms = file_stat_domains(self.arrow_schema)
             parts = [
                 p
                 for p in parts
-                if file_keep(full_stats.get(p.path), self.exact_where)
+                if file_keep(full_stats.get(p.path), self.exact_where, doms)
             ]
         return parts
 
@@ -936,24 +1022,88 @@ def _json_stat_bound(v):
     return None
 
 
-def _file_domain_value(v):
-    """Predicate literal -> the manifest bound domain of
-    :func:`_json_stat_bound` so file_keep compares in-domain: datetime ->
-    epoch µs (naive literals get the same driver-tz instant Catalyst's
-    ``F.lit`` would produce), date -> epoch days, timedelta -> µs.
-    Decimal stays Decimal — string bounds parse back exactly."""
+def file_stat_domains(schema: pa.Schema) -> dict[str, str]:
+    """Leaf column -> the integer/string domain its manifest file-level
+    stat bounds live in (the encoding of :func:`_json_stat_bound`):
+    ``micros`` (timestamp, epoch-µs), ``days`` (date, epoch-days), ``us``
+    (duration), ``int``/``float``/``decimal``/``string``/``binary``.
+    file_keep needs this to coerce predicate literals into the COLUMN's
+    domain — a DATE literal against a timestamp column must become
+    midnight epoch-µs, never epoch-days, or both sides are plain ints and
+    whole files silently mis-prune (ADVICE r4 high)."""
+    from aisle_spark.schema import specs_for_schema
+
+    out: dict[str, str] = {}
+    for s in specs_for_schema(schema):
+        if s.kind == "timestamp":
+            out[s.name] = "micros"
+        elif s.kind == "duration":
+            out[s.name] = "us"
+        elif s.kind == "int":
+            out[s.name] = "days" if pa.types.is_date(s.arrow_type) else "int"
+        elif s.kind in ("float", "string", "binary", "decimal"):
+            out[s.name] = s.kind
+    return out
+
+
+_NO_EVIDENCE = object()  # literal can't be placed in the column's domain
+
+
+def _literal_in_domain(v, domain: str | None):
+    """Predicate literal -> the COLUMN's manifest stat-bound domain
+    (:func:`_json_stat_bound`), or ``_NO_EVIDENCE`` when the literal
+    cannot be soundly expressed there. Temporal coercions mirror
+    Catalyst: a naive datetime gets the driver-tz instant ``F.lit``
+    would produce; a date literal against a timestamp column becomes
+    session-tz midnight (Spark casts DATE up to TIMESTAMP). A datetime
+    against a date column is rejected (epoch-days can't hold sub-day
+    precision; Spark casts the COLUMN up, not the literal down).
+    ``domain=None`` (no schema available) rejects all temporal literals
+    — plain int/str/bytes/Decimal bounds are domain-unambiguous."""
     import datetime as _dt
+    import decimal as _decimal
 
     if isinstance(v, _dt.datetime):
+        if domain != "micros":
+            return _NO_EVIDENCE
         from aisle_spark.filterspec import _utc_value
 
         u = _utc_value(v)
         return (u - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     if isinstance(v, _dt.date):
-        return (v - _dt.date(1970, 1, 1)).days
+        if domain == "days":
+            return (v - _dt.date(1970, 1, 1)).days
+        if domain == "micros":
+            from aisle_spark.filterspec import _utc_value
+
+            u = _utc_value(_dt.datetime(v.year, v.month, v.day))
+            return (u - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+                microseconds=1
+            )
+        return _NO_EVIDENCE
     if isinstance(v, _dt.timedelta):
+        if domain != "us":
+            return _NO_EVIDENCE
         return v // _dt.timedelta(microseconds=1)
-    return v
+    if isinstance(v, bool):
+        return int(v) if domain in ("int", None) else _NO_EVIDENCE
+    if isinstance(v, int):
+        if domain == "decimal":
+            return _decimal.Decimal(v)  # exact; prunes against str bounds
+        return v if domain in ("int", "float", None) else _NO_EVIDENCE
+    if isinstance(v, float):
+        # float vs decimal column: Spark casts the decimal to double with
+        # rounding — boundary-strictness could flip, so no evidence
+        return v if domain in ("int", "float", None) else _NO_EVIDENCE
+    if isinstance(v, _decimal.Decimal):
+        # decimal literal vs int column: Spark widens the column to
+        # decimal; exact Python Decimal-vs-int comparison matches
+        return v if domain in ("decimal", "int", None) else _NO_EVIDENCE
+    if isinstance(v, str):
+        return v if domain in ("string", None) else _NO_EVIDENCE
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v) if domain in ("binary", None) else _NO_EVIDENCE
+    return _NO_EVIDENCE
 
 
 def _merge_file_stat(acc: dict, row: dict, cols: list[str]) -> None:
@@ -993,14 +1143,19 @@ def _merge_file_stat(acc: dict, row: dict, cols: list[str]) -> None:
         ]
 
 
-def file_keep(stats: dict | None, spec: Spec) -> bool:
+def file_keep(
+    stats: dict | None, spec: Spec, domains: dict[str, str] | None = None
+) -> bool:
     """File-level keep from per-file [min, max] bounds — the manifest-list
     level of the two-tier pruning (block rows are the manifest-file
     level). DELIBERATELY tiny: only top-level AND of Cmp/Between/InList/
     StartsWith conjuncts ever prunes; every other shape, any missing
-    bound, and any type surprise returns keep. Differentially tested
-    against block-level survival (a file is kept whenever ANY of its
-    blocks could be)."""
+    bound, and any type surprise returns keep. ``domains`` (from
+    :func:`file_stat_domains`) maps each column to its stat-bound domain
+    so temporal literals coerce into the COLUMN's encoding; without it
+    temporal literals yield no evidence. Differentially tested against
+    block-level survival (a file is kept whenever ANY of its blocks
+    could be)."""
     if not stats:
         return True
 
@@ -1069,9 +1224,14 @@ def file_keep(stats: dict | None, spec: Spec) -> bool:
                 return True
             if not isinstance(node, Cmp):
                 return True
-            # compare in the manifest's JSON bound domain (epoch µs /
-            # epoch days / µs / Decimal) — see _json_stat_bound
-            v = _file_domain_value(node.value)
+            # coerce the literal into the COLUMN's stat-bound domain
+            # (epoch µs / epoch days / µs / Decimal — _json_stat_bound);
+            # a literal the column's domain can't hold is no evidence
+            v = _literal_in_domain(
+                node.value, domains.get(node.col) if domains else None
+            )
+            if v is _NO_EVIDENCE:
+                return True
             mn, mx = rng(node.col, v)
             if node.op == "eq":
                 return (mn is None or mn <= v) and (mx is None or mx >= v)

@@ -1236,17 +1236,21 @@ def scan_sum(
     has_sums = sum_name in blocks.columns  # pre-r4 tables: decode it all
     where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
     keep_mask = where.keep(opts) if where is not None else F.lit(True)
-    sure_mask = (
-        (where_sure & F.col(f"`{sum_name}`").isNotNull())
-        if has_sums
-        else F.lit(False)
-    )
-    # accumulate in decimal(38,0): millions of int64 block sums can
-    # exceed int64; 38 digits cannot be exceeded by any real table
-    sure = blocks.filter(sure_mask).agg(
-        F.sum(F.col(f"`{sum_name}`").cast("decimal(38,0)")).alias("t")
-    )
-    boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
+    if has_sums:
+        sure_mask = where_sure & F.col(f"`{sum_name}`").isNotNull()
+        # accumulate in decimal(38,0): millions of int64 block sums can
+        # exceed int64; 38 digits cannot be exceeded by any real table
+        sure = blocks.filter(sure_mask).agg(
+            F.sum(F.col(f"`{sum_name}`").cast("decimal(38,0)")).alias("t")
+        )
+        boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
+    else:
+        # pre-r4 table without __sum stats: the documented "decode it
+        # all" fallback — every kept block is a boundary block, and the
+        # sure branch must NOT reference the absent column (ADVICE r4
+        # medium: the unconditional F.col(__sum) was an AnalysisException)
+        sure = None
+        boundary_blocks = blocks.filter(keep_mask)
     scale = spec_.arrow_type.scale if is_decimal else 0
 
     def finish(total: Column) -> Column:
@@ -1259,6 +1263,10 @@ def scan_sum(
         ).alias("total")
 
     if boundary_blocks.isEmpty():
+        if sure is None:  # no kept blocks at all: SUM over zero rows
+            return blocks.sparkSession.range(1).select(
+                finish(F.lit(None).cast("decimal(38,0)"))
+            )
         return sure.select(finish(F.col("t")))
     proj = sorted(
         {column.split(".")[0]}
@@ -1272,6 +1280,8 @@ def scan_sum(
     boundary = scan(boundary_blocks, schema, where=where, columns=proj).agg(
         F.sum(bval).alias("t")
     )
+    if sure is None:
+        return boundary.select(finish(F.col("t")))
     return (
         sure.unionAll(boundary)
         .agg(F.sum("t").alias("t"))

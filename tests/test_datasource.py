@@ -724,6 +724,30 @@ class TestTypedFileStats:
                 r.eid for r in exp.collect()
             ), where
 
+    def test_cross_domain_date_literal_on_timestamp(self, spark, typed_files):
+        """ADVICE r4 high e2e: DATE literal on a timestamp column — the
+        pre-fix planner compared epoch-days to epoch-µs and pruned all
+        files even though every row matches."""
+        df, out = typed_files
+        assert len(self._one_file_planned(out, "ts < DATE '2024-06-01'")) == 3
+        n = (
+            spark.read.format("aisle")
+            .option("where", "ts < DATE '2024-06-01'")
+            .load(out)
+            .count()
+        )
+        assert n == self.N
+        # the coerced midnight literal still prunes when it genuinely can
+        kept = self._one_file_planned(out, "ts >= DATE '2024-01-02'")
+        assert 0 < len(kept) < 3
+        n = (
+            spark.read.format("aisle")
+            .option("where", "ts >= DATE '2024-01-02'")
+            .load(out)
+            .count()
+        )
+        assert n == df.filter("ts >= timestamp'2024-01-02 00:00:00'").count()
+
     def test_compaction_recomputes_typed_bounds(self, spark, typed_files):
         from aisle_spark.maintenance import compact_encoded
 
@@ -766,11 +790,18 @@ class TestFileKeepDomains:
                 self._b(dt.datetime(2024, 1, 2)),
             ]
         }
-        assert not file_keep(stats, col("ts") > dt.datetime(2024, 1, 3, tzinfo=utc))
-        assert file_keep(stats, col("ts") > dt.datetime(2024, 1, 1, 12, tzinfo=utc))
+        doms = {"ts": "micros"}
         assert not file_keep(
-            stats, col("ts") < dt.datetime(2023, 12, 1, tzinfo=utc)
+            stats, col("ts") > dt.datetime(2024, 1, 3, tzinfo=utc), doms
         )
+        assert file_keep(
+            stats, col("ts") > dt.datetime(2024, 1, 1, 12, tzinfo=utc), doms
+        )
+        assert not file_keep(
+            stats, col("ts") < dt.datetime(2023, 12, 1, tzinfo=utc), doms
+        )
+        # without domain knowledge a temporal literal is no evidence
+        assert file_keep(stats, col("ts") > dt.datetime(2024, 1, 3, tzinfo=utc))
 
     def test_date_and_duration_domains(self):
         import datetime as dt
@@ -785,10 +816,46 @@ class TestFileKeepDomains:
                 self._b(dt.timedelta(seconds=500)),
             ],
         }
-        assert not file_keep(stats, col("d") > dt.date(2024, 2, 2))
-        assert file_keep(stats, col("d") == dt.date(2024, 1, 15))
-        assert not file_keep(stats, col("dur") > dt.timedelta(seconds=600))
-        assert file_keep(stats, col("dur") >= dt.timedelta(seconds=499))
+        doms = {"d": "days", "dur": "us"}
+        assert not file_keep(stats, col("d") > dt.date(2024, 2, 2), doms)
+        assert file_keep(stats, col("d") == dt.date(2024, 1, 15), doms)
+        assert not file_keep(stats, col("dur") > dt.timedelta(seconds=600), doms)
+        assert file_keep(stats, col("dur") >= dt.timedelta(seconds=499), doms)
+
+    def test_cross_domain_literals(self):
+        """ADVICE r4 high: a DATE literal against a timestamp column (or a
+        datetime against a date column) must never compare epoch-days to
+        epoch-µs — coerce into the column's domain or keep the file."""
+        import datetime as dt
+
+        from aisle_spark.datasource import file_keep
+        from aisle_spark.filterspec import col
+
+        ts_stats = {
+            "ts": [
+                self._b(dt.datetime(2024, 1, 1)),
+                self._b(dt.datetime(2024, 1, 31)),
+            ]
+        }
+        doms = {"ts": "micros"}
+        # every row matches ts < DATE '2024-06-01' — the pre-fix code
+        # compared epoch-days to epoch-µs and silently pruned the file
+        assert file_keep(ts_stats, col("ts") < dt.date(2024, 6, 1), doms)
+        # the coercion is real, not a blanket keep: midnight 2024-06-01
+        # epoch-µs correctly excludes this January file for ">"
+        assert not file_keep(ts_stats, col("ts") > dt.date(2024, 6, 1), doms)
+
+        d_stats = {"d": [self._b(dt.date(2024, 1, 1)), self._b(dt.date(2024, 1, 31))]}
+        # datetime literal vs date column: epoch-days can't hold sub-day
+        # precision — no evidence, file kept (pre-fix: epoch-µs is a huge
+        # int so "d > datetime" wrongly pruned every file)
+        assert file_keep(
+            d_stats, col("d") > dt.datetime(2024, 1, 1), {"d": "days"}
+        )
+        # duration literal vs non-duration column: no evidence
+        assert file_keep(
+            ts_stats, col("ts") > dt.timedelta(seconds=1), doms
+        )
 
     def test_decimal_domain_exact_strings(self):
         import decimal

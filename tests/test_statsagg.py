@@ -277,6 +277,28 @@ class TestScanSum:
         exp = df.agg(F.sum("v")).collect()[0][0]
         assert got == exp
 
+    def test_pre_r4_table_without_sum_stats(self, spark, table):
+        """ADVICE r4 medium: a blocks table lacking the r4 ``__sum``
+        column must take the documented decode-all fallback, not raise
+        AnalysisException on the unresolved column."""
+        from aisle_spark.pipeline import scan_sum
+
+        df, blocks, schema = table
+        legacy = blocks.drop("n_tok__sum")
+        assert "n_tok__sum" not in legacy.columns
+        got = scan_sum(legacy, schema, "n_tok", where="source = 'web'")
+        exp = df.filter("source = 'web'").agg(F.sum("n_tok")).collect()[0][0]
+        assert got.collect()[0].total == exp
+        # impossible predicate on the legacy table: NULL total, no crash
+        from aisle_spark.filterspec import col as _c
+
+        assert (
+            scan_sum(legacy, schema, "n_tok", where=_c("n_tok") > 10**9)
+            .collect()[0]
+            .total
+            is None
+        )
+
     def test_nulls_excluded(self, spark):
         from aisle_spark.pipeline import scan_sum
 

@@ -235,6 +235,43 @@ class TestMaxBytesPerTrigger:
         batches = _drain(r)
         assert all(len(b) == 1 for b in batches) and len(batches) == 6
 
+    def test_restart_with_latest_offset_first_never_regresses(self, table):
+        """ADVICE r4 low: the fresh-vs-restart split rests on the
+        observed runner call order (restart drives partitions() first).
+        If a future Spark drives latestOffset FIRST on a restarted
+        reader, the None cursor looks like a fresh stream and a
+        mid-backfill checkpoint could receive a REGRESSED pos — that
+        must now fail loudly as a protocol violation, never silently
+        re-emit files."""
+        import pytest as _pytest
+
+        _df, out = table
+        r1 = AisleStreamReader(out, max_files_per_trigger=4)
+        cur = r1.initialOffset()
+        ckpt = r1.latestOffset()  # 4 of 6 files into the pinned backfill
+        assert ckpt == {"version": 0, "backfill_v": 3, "pos": 4}
+        r1.partitions(cur, ckpt)
+        # crash; hypothetical runner drives latestOffset FIRST on the
+        # fresh reader (no cursor): it computes pos=4... but with a
+        # smaller cap the computed end would order BEFORE the checkpoint
+        r2 = AisleStreamReader(out, max_files_per_trigger=2)
+        bad_end = r2.latestOffset()  # cursor None -> treated as fresh
+        assert bad_end == {"version": 0, "backfill_v": 3, "pos": 2}
+        with _pytest.raises(RuntimeError, match="protocol violation"):
+            r2.partitions(ckpt, bad_end)
+
+    def test_latest_offset_never_orders_before_cursor(self, table):
+        """Belt-and-braces: a capped latestOffset anchored at a seeded
+        cursor can never return an offset ordering before it."""
+        _df, out = table
+        r = AisleStreamReader(out, max_files_per_trigger=2)
+        # restart protocol: partitions(checkpoint, checkpoint) seeds the
+        # cursor before any latestOffset runs
+        ckpt = {"version": 0, "backfill_v": 3, "pos": 4}
+        r.partitions(ckpt, ckpt)
+        nxt = r.latestOffset()
+        assert AisleStreamReader._off_key(nxt) >= AisleStreamReader._off_key(ckpt)
+
     def test_compaction_recompute_records_sizes(self, spark, table):
         import json
 
