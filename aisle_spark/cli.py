@@ -29,13 +29,19 @@ import sys
 
 
 def _session(app: str):
+    """(session, owns) — ``owns`` is False when an active session already
+    existed (in-process invocation, e.g. a notebook or the driver-gate
+    harness calling ``main()`` directly): commands must then leave the
+    caller's session running instead of stopping it."""
     from pyspark.sql import SparkSession
 
-    return (
+    owns = SparkSession.getActiveSession() is None
+    spark = (
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
+    return spark, owns
 
 
 def cmd_encode(args) -> None:
@@ -45,7 +51,7 @@ def cmd_encode(args) -> None:
         _write_schema_sidecar,
     )
 
-    spark = _session("aisle-encode")
+    spark, owns = _session("aisle-encode")
     sort_cols = args.sort.split(",") if args.sort else None
     if args.resumable:
         from aisle_spark.checkpoint import encode_resumable
@@ -77,13 +83,14 @@ def cmd_encode(args) -> None:
         )
         blocks.write.mode(args.mode).option("compression", "none").parquet(args.output)
         _write_schema_sidecar(args.output, schema)
-    spark.stop()
+    if owns:
+        spark.stop()
 
 
 def cmd_stream(args) -> None:
     from aisle_spark.streaming import encode_stream
 
-    spark = _session("aisle-stream")
+    spark, owns = _session("aisle-stream")
     sort_cols = args.sort.split(",") if args.sort else None
     stream = (
         spark.readStream.schema(args.schema)
@@ -102,14 +109,15 @@ def cmd_stream(args) -> None:
         q.stop()
     else:  # pragma: no cover - long-running service mode
         q.awaitTermination()
-    spark.stop()
+    if owns:
+        spark.stop()
 
 
 def cmd_scan(args) -> None:
     from aisle_spark.filterspec import col  # noqa: F401 (eval namespace)
     from aisle_spark.pipeline import read_encoded, scan
 
-    spark = _session("aisle-scan")
+    spark, owns = _session("aisle-scan")
     blocks, schema = read_encoded(spark, args.table)
     where = None
     if args.where:
@@ -130,13 +138,57 @@ def cmd_scan(args) -> None:
         out.write.mode(args.mode).parquet(args.output)
     else:
         out.show(args.limit, truncate=False)
-    spark.stop()
+    if owns:
+        spark.stop()
+
+
+def cmd_aggregate(args) -> None:
+    """Stats-only aggregation through the public surface: routes to
+    pipeline.scan_count / scan_sum / scan_min_max / scan_count_by /
+    scan_sum_by, which answer from block evidence (definitely-true
+    blocks contribute their recorded stats; only boundary blocks decode)
+    — a 100 TB table's ``SELECT count(*) WHERE …`` reads KB of manifest,
+    not the payloads."""
+    from pyspark.sql import SparkSession
+
+    from aisle_spark.pipeline import (
+        read_encoded,
+        scan_count,
+        scan_count_by,
+        scan_min_max,
+        scan_sum,
+        scan_sum_by,
+    )
+
+    spark, owns = _session("aisle-aggregate")
+    blocks, schema = read_encoded(spark, args.table)
+    where = args.where or None
+    if args.count_by:
+        out = scan_count_by(blocks, schema, args.count_by, where=where)
+    elif args.sum_by:
+        group, _, val = args.sum_by.partition(":")
+        if not val:
+            raise SystemExit("--sum-by takes GROUP_COL:SUM_COL")
+        out = scan_sum_by(blocks, schema, group, val, where=where)
+    elif args.sum:
+        out = scan_sum(blocks, schema, args.sum, where=where)
+    elif args.min_max:
+        out = scan_min_max(blocks, schema, args.min_max, where=where)
+    else:  # --count is the default aggregate
+        out = scan_count(blocks, schema, where=where)
+    if args.output:
+        out.write.mode(args.mode).parquet(args.output)
+    else:
+        for line in out.toJSON().collect():  # aggregates are tiny
+            print(line)
+    if owns:  # keep a caller-provided session alive (in-process use)
+        spark.stop()
 
 
 def cmd_compact(args) -> None:
     from aisle_spark.maintenance import compact_encoded, vacuum_encoded
 
-    spark = _session("aisle-compact")
+    spark, owns = _session("aisle-compact")
     summary = compact_encoded(
         spark,
         args.table,
@@ -151,7 +203,8 @@ def cmd_compact(args) -> None:
         expired = expire_snapshots(args.table, keep_last=args.keep_snapshots)
         removed = vacuum_encoded(args.table, min_age_seconds=args.min_age)
         print(f"expired {len(expired)} snapshots, vacuumed {len(removed)} files")
-    spark.stop()
+    if owns:
+        spark.stop()
 
 
 def cmd_vacuum(args) -> None:
@@ -231,6 +284,23 @@ def main(argv: list[str] | None = None) -> None:
         help="print per-conjunct block-pruning diagnosis before scanning",
     )
     s.set_defaults(fn=cmd_scan)
+
+    a = sub.add_parser(
+        "aggregate", help="stats-only aggregates (count/sum/min-max/by-group)"
+    )
+    a.add_argument("--table", required=True)
+    a.add_argument("--where", default=None, help="SQL predicate")
+    ag = a.add_mutually_exclusive_group()
+    ag.add_argument("--count", action="store_true", help="COUNT(*) (default)")
+    ag.add_argument("--sum", default=None, metavar="COL")
+    ag.add_argument("--min-max", dest="min_max", default=None, metavar="COL")
+    ag.add_argument("--count-by", dest="count_by", default=None, metavar="COL")
+    ag.add_argument(
+        "--sum-by", dest="sum_by", default=None, metavar="GROUP_COL:SUM_COL"
+    )
+    a.add_argument("--output", default=None, help="parquet dir (else JSON stdout)")
+    a.add_argument("--mode", default="overwrite")
+    a.set_defaults(fn=cmd_aggregate)
 
     c = sub.add_parser("compact", help="merge small committed files (OPTIMIZE)")
     c.add_argument("--table", required=True)

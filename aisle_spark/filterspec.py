@@ -1112,6 +1112,10 @@ def utc_normalize(spec: Spec) -> Spec:
         return Or([utc_normalize(p) for p in spec.parts])
     if isinstance(spec, Not):
         return Not(utc_normalize(spec.inner))
+    if isinstance(spec, MapKeyCmp):
+        return MapKeyCmp(
+            spec.col, spec.key, spec.op, _utc_value(spec.value), spec.sql_expr
+        )
     return spec  # IsNull / StartsWith / AlwaysTrue carry no datetime
 
 

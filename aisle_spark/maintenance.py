@@ -59,7 +59,9 @@ def compact_encoded(
     fs, root = _fs_of(path)
     root = root.rstrip("/")
     spark_root = path.rstrip("/")  # Spark sees the original path/URI
-    files = _fs_read_json(fs, f"{root}/{_MANIFEST}")["files"]
+    from aisle_spark.pipeline import load_manifest
+
+    files = load_manifest(fs, root)["files"]
     if not files:
         return {"files_before": 0, "files_after": 0, "skipped": True}
     if fs is None:
@@ -102,7 +104,9 @@ def compact_encoded(
     with manifest_lock(fs, root):
         # re-read under the lock: files appended since compaction started
         # (not among our inputs) must survive the manifest swap
-        old = _fs_read_json(fs, manifest)
+        from aisle_spark.pipeline import load_manifest
+
+        old = load_manifest(fs, root)
         survivors = sorted(set(old["files"]) - set(files))
         old_stats = old.get("file_stats", {})
         payload: dict = {
@@ -145,7 +149,14 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
         for n in names
         if n.endswith("__min") and f"{n[: -len('__min')]}__max" in names
     ]
-    if not cols:
+    # map columns: per-file key-set union (exact-or-nothing, like the
+    # block dictionary hint) for MapKeyCmp file pruning
+    map_cols = [
+        n[: -len("__keys")]
+        for n in names
+        if n.endswith("__keys") and f"{n[: -len('__keys')]}__kmin" in names
+    ]
+    if not cols and not map_cols:
         return {}
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -163,7 +174,15 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
         f'ELSE sum("{c}__nulls") END AS "nl_{i}"'
         for i, c in enumerate(cols)
     )
-    aggs += ', sum("n_rows") AS "rows_total"'
+    aggs = ", ".join(x for x in [aggs, 'sum("n_rows") AS "rows_total"'] if x)
+    # key-set unions AFTER rows_total so the scalar indexing stays fixed;
+    # a single NULL block key set poisons the file to no-evidence
+    aggs += "".join(
+        f', CASE WHEN count(*) <> count("{m}__keys") THEN NULL '
+        f'ELSE list_sort(list_distinct(flatten(list("{m}__keys")))) '
+        f'END AS "keys_{j}"'
+        for j, m in enumerate(map_cols)
+    )
     if fs is None:
         listed = ", ".join(f"'{root}/{f}'" for f in rel_files)
         rows = con.execute(
@@ -178,6 +197,7 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
 
         def _load_one(f: str) -> pa.Table:
             want = [f"{c}__{s}" for c in cols for s in ("min", "max", "nulls")]
+            want += [f"{m}__keys" for m in map_cols]
             with fs.open_input_file(f"{root}/{f}") as srcf:
                 t = pq.read_table(srcf, columns=[*want, "n_rows"])
             return t.append_column("filename", pa.array([f] * t.num_rows))
@@ -192,12 +212,19 @@ def _recompute_file_stats(fs, root: str, rel_files: list[str]) -> dict:
         rel_of = {f: f for f in rel_files}
     from aisle_spark.datasource import _json_stat_bound
 
+    from aisle_spark.schema import MAP_KEYS_MAX
+
     out: dict = {}
+    rows_idx = 1 + 3 * len(cols)
     for row in rows:
         rel = rel_of.get(row[0], row[0])
-        rows_total = row[-1]
+        rows_total = row[rows_idx]
         rows_total = int(rows_total) if rows_total is not None else None
         stats = {}
+        for j, m in enumerate(map_cols):
+            ks = row[rows_idx + 1 + j]
+            if isinstance(ks, list) and len(ks) <= MAP_KEYS_MAX:
+                stats[m] = {"keys": [str(k) for k in ks]}
         for i, c in enumerate(cols):
             # canonical JSON encoding shared with the AisleWriter commit
             # path (timestamp -> epoch µs, date -> epoch days, duration ->
@@ -243,7 +270,9 @@ def vacuum_encoded(
 
     fs, root = _fs_of(path)
     root = root.rstrip("/")
-    keep = set(_fs_read_json(fs, f"{root}/{_MANIFEST}")["files"])
+    from aisle_spark.pipeline import load_manifest
+
+    keep = set(load_manifest(fs, root)["files"])
     # time travel: every RETAINED snapshot's files stay readable — expire
     # snapshots first if you want their files collected
     for v in list_snapshots(fs, root):

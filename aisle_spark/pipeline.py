@@ -487,7 +487,7 @@ def _snapshot_payload(fs, root: str, payload: dict, version: int) -> dict:
     if version == 1 or version % _SNAP_FULL_EVERY == 1:
         return payload
     try:
-        prev = _fs_read_json(fs, f"{root}/_aisle_files.json")
+        prev = load_manifest(fs, root)
     except (FileNotFoundError, OSError):
         return payload
     if prev.get("version") != version - 1:
@@ -518,14 +518,38 @@ def _snapshot_payload(fs, root: str, payload: dict, version: int) -> dict:
     return delta
 
 
+# above this many committed files the current-state manifest switches to
+# the POINTER form ({"version": N, "pointer": true}): the commit then
+# writes O(changed) bytes total — one delta snapshot plus a ~40-byte
+# pointer swap — instead of rewriting the full file list + stats (~180 MB
+# at 10^6 files). Readers resolve the pointer through read_snapshot
+# (<= _SNAP_FULL_EVERY-1 footer-sized delta reads past the last full
+# checkpoint) — the Delta-Lake commit-log + periodic-checkpoint
+# amortization. Small tables keep the single-read full form.
+_MANIFEST_POINTER_MIN_FILES = 4096
+
+
+def load_manifest(fs, root: str) -> dict:
+    """The current-state manifest as a FULL dict, resolving the pointer
+    form through the snapshot chain. Every in-engine reader of
+    ``_aisle_files.json`` goes through here."""
+    root = root.rstrip("/")
+    m = _fs_read_json(fs, f"{root}/_aisle_files.json")
+    if "files" in m:
+        return m
+    return read_snapshot(fs, root, int(m["version"]))
+
+
 def publish_manifest(fs, root: str, payload: dict) -> int:
-    """The ONE manifest commit point: write ``_aisle_files.json`` (always
-    FULL — current-state readers pay one read) AND an immutable numbered
+    """The ONE manifest commit point: write an immutable numbered
     snapshot (full or delta, see _snapshot_payload) — time travel for
     training-data reproducibility (readers pin ``versionAsOf``; vacuum
-    keeps every file any retained snapshot references). Callers hold
-    ``manifest_lock`` where concurrent writers exist, which also
-    serializes version numbering. Returns the new version."""
+    keeps every file any retained snapshot references) — then commit by
+    swapping ``_aisle_files.json``: the full payload for small tables,
+    the pointer form past _MANIFEST_POINTER_MIN_FILES files so a
+    single-file append writes O(changed) bytes at ANY table size.
+    Callers hold ``manifest_lock`` where concurrent writers exist, which
+    also serializes version numbering. Returns the new version."""
     root = root.rstrip("/")
     versions = list_snapshots(fs, root)
     version = (versions[-1] + 1) if versions else 1
@@ -533,7 +557,11 @@ def publish_manifest(fs, root: str, payload: dict) -> int:
     _fs_mkdirs(fs, f"{root}/{_SNAP_DIR}")
     snap = _snapshot_payload(fs, root, payload, version)
     _fs_write_json(fs, f"{root}/{_SNAP_DIR}/v{version:08d}.json", snap)
-    _fs_write_json(fs, f"{root}/_aisle_files.json", payload)
+    if len(payload.get("files", ())) > _MANIFEST_POINTER_MIN_FILES:
+        current = {"version": version, "pointer": True}
+    else:
+        current = payload
+    _fs_write_json(fs, f"{root}/_aisle_files.json", current)
     return version
 
 
@@ -1239,9 +1267,19 @@ def scan_sum(
     if has_sums:
         sure_mask = where_sure & F.col(f"`{sum_name}`").isNotNull()
         # accumulate in decimal(38,0): millions of int64 block sums can
-        # exceed int64; 38 digits cannot be exceeded by any real table
+        # exceed int64; 38 digits cannot be exceeded by any real table.
+        # An all-null block's recorded __sum is 0 — map it back to NULL
+        # so SUM over a fully-NULL selection stays NULL like SQL's
         sure = blocks.filter(sure_mask).agg(
-            F.sum(F.col(f"`{sum_name}`").cast("decimal(38,0)")).alias("t")
+            F.sum(
+                F.when(
+                    F.coalesce(F.col(f"`{column}__nulls`"), F.lit(-1))
+                    == F.col("n_rows"),
+                    F.lit(None),
+                )
+                .otherwise(F.col(f"`{sum_name}`"))
+                .cast("decimal(38,0)")
+            ).alias("t")
         )
         boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
     else:
@@ -1358,6 +1396,138 @@ def scan_count_by(
         sure.unionAll(boundary)
         .groupBy(F.col(f"`{group_col}`"))
         .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def scan_sum_by(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    group_col: str,
+    sum_col: str,
+    where: "Spec | str | None" = None,
+    opts: "PruneOptions | None" = None,
+) -> DataFrame:
+    """``SELECT g, sum(col) … GROUP BY g`` from block statistics — the
+    natural join of :func:`scan_count_by` and :func:`scan_sum`: a block
+    whose group column is SINGLE-VALUED (min == max, zero nulls — exact
+    even for strings, truncated bound pairs can never be equal) or
+    ALL-NULL contributes its recorded per-block ``__sum`` without
+    decoding, provided the WHERE evidence proves the whole block matches
+    and the sum stat exists (NULL = the encode-time overflow guard
+    tripped); every other kept block decodes and aggregates exactly.
+    EXACT domains only, like scan_sum: int and decimal (decimal sums run
+    unscaled; float sums are order-dependent and rejected).
+
+    Returns a DataFrame ``(group_col, total)`` — total is bigint for int
+    columns, decimal(38, s) for decimal(p, s)."""
+    import pyarrow as _pa
+
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+    from aisle_spark.schema import specs_for_schema
+
+    opts = opts or DEFAULT_OPTIONS
+    specs = specs_for_schema(schema)
+    gspec = next((s for s in specs if s.name == group_col), None)
+    if gspec is None:
+        raise KeyError(f"unknown column {group_col}")
+    if gspec.kind in ("intlist", "floatlist", "map") or "." in group_col:
+        raise TypeError(
+            f"scan_sum_by needs a top-level scalar group column, got "
+            f"{group_col!r} ({gspec.kind})"
+        )
+    sspec = next((s for s in specs if s.name == sum_col), None)
+    if sspec is None:
+        raise KeyError(f"unknown column {sum_col}")
+    is_decimal = sspec.kind == "decimal"
+    if not (
+        is_decimal
+        or (
+            sspec.kind == "int"
+            and not _pa.types.is_date(sspec.arrow_type)
+            and not _pa.types.is_boolean(sspec.arrow_type)
+        )
+    ):
+        raise TypeError(
+            f"scan_sum_by supports integer and decimal sum columns; "
+            f"{sum_col!r} is {sspec.kind}"
+        )
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    gmin = F.col(f"`{group_col}__min`")
+    gmax = F.col(f"`{group_col}__max`")
+    gnulls = F.col(f"`{group_col}__nulls`")
+    sum_name = f"{sum_col}__sum"
+    has_sums = sum_name in blocks.columns
+    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
+    keep_mask = where.keep(opts) if where is not None else F.lit(True)
+    scale = sspec.arrow_type.scale if is_decimal else 0
+
+    def finish(total: Column) -> Column:
+        if not is_decimal:
+            return total.cast("long").alias("total")
+        return (
+            (total / F.lit(10**scale)).cast(f"decimal(38,{scale})")
+        ).alias("total")
+
+    if has_sums:
+        single = (
+            gmin.isNotNull() & gmax.isNotNull() & (gmin == gmax)
+            & (F.coalesce(gnulls, F.lit(-1)) == 0)
+        )
+        g_all_null = F.coalesce(gnulls, F.lit(-1)) == F.col("n_rows")
+        sure_mask = (
+            where_sure
+            & (single | g_all_null)
+            & F.col(f"`{sum_name}`").isNotNull()
+        )
+        # an all-null sum block records __sum = 0; map it back to NULL so
+        # a group whose every value is NULL totals NULL like SQL
+        contrib = (
+            F.when(
+                F.coalesce(F.col(f"`{sum_col}__nulls`"), F.lit(-1))
+                == F.col("n_rows"),
+                F.lit(None),
+            )
+            .otherwise(F.col(f"`{sum_name}`"))
+            .cast("decimal(38,0)")
+        )
+        sure = (
+            blocks.filter(sure_mask)
+            .groupBy(F.when(gnulls == 0, gmin).alias(group_col))
+            .agg(F.sum(contrib).alias("t"))
+        )
+        boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
+    else:  # pre-r4 table: decode every kept block
+        sure = None
+        boundary_blocks = blocks.filter(keep_mask)
+    if boundary_blocks.isEmpty():
+        if sure is None:
+            out = blocks.sparkSession.createDataFrame(
+                [], f"`{group_col}` string, t decimal(38,0)"
+            )
+            return out.select(F.col(f"`{group_col}`"), finish(F.col("t")))
+        return sure.select(F.col(f"`{group_col}`"), finish(F.col("t")))
+    proj = sorted(
+        {group_col, sum_col.split(".")[0]}
+        | ({c.split(".")[0] for c in where.columns()} if where else set())
+    )
+    bval = F.col(sum_col) if "." in sum_col else F.col(f"`{sum_col}`")
+    if is_decimal:
+        bval = (bval * F.lit(10**scale)).cast("decimal(38,0)")
+    else:
+        bval = bval.cast("decimal(38,0)")
+    boundary = (
+        scan(boundary_blocks, schema, where=where, columns=proj)
+        .groupBy(F.col(f"`{group_col}`"))
+        .agg(F.sum(bval).alias("t"))
+    )
+    merged = boundary if sure is None else sure.unionAll(boundary)
+    return (
+        merged.groupBy(F.col(f"`{group_col}`"))
+        .agg(F.sum("t").alias("t"))
+        .select(F.col(f"`{group_col}`"), finish(F.col("t")))
     )
 
 
@@ -1524,7 +1694,7 @@ def read_encoded(spark: SparkSession, path: str) -> tuple[DataFrame, pa.Schema]:
     if os.path.exists(manifest):
         # direct-write layout: read EXACTLY the committed file list —
         # orphans from failed/speculative attempts are never visible
-        with open(manifest) as fh:
-            files = json.load(fh)["files"]
+        # (load_manifest resolves the large-table pointer form)
+        files = load_manifest(None, path)["files"]
         return spark.read.parquet(*[os.path.join(path, f) for f in files]), schema
     return spark.read.parquet(path), schema

@@ -36,6 +36,7 @@ from aisle_spark.filterspec import (
     InList,
     IsNull,
     Like,
+    MapKeyCmp,
     Not,
     Or,
     Spec,
@@ -133,6 +134,16 @@ def _eval(spec: Spec, batch: pa.RecordBatch) -> pa.Array:
             vs = [_lit(v, c.type) for v in spec.values]
             return pc.is_in(c, value_set=pa.array([s.as_py() for s in vs], type=c.type))
         return pc.is_in(c, value_set=pa.array(list(spec.values), type=c.type))
+    if isinstance(spec, MapKeyCmp):
+        # try_element_at semantics: missing key / NULL map -> NULL value
+        # -> NULL comparison -> final fill_null(False), exactly Spark's
+        # residual. occurrence="last" matches Spark's LAST_WIN dedup.
+        vals = pc.map_lookup(
+            batch.column(spec.col), query_key=spec.key, occurrence="last"
+        )
+        if pa.types.is_floating(vals.type):
+            return _float_cmp(vals, spec.op, float(spec.value))
+        return _CMP_KERNELS[spec.op](vals, _lit(spec.value, vals.type))
     if isinstance(spec, IsNull):
         c = batch.column(spec.col)
         return pc.is_valid(c) if spec.negated else pc.is_null(c)

@@ -44,8 +44,9 @@ def _read_manifest(out_path: str) -> dict:
     p = _manifest_path(out_path)
     if not os.path.exists(p):
         return {"files": [], "batches": {}}
-    with open(p) as fh:
-        m = json.load(fh)
+    from aisle_spark.pipeline import load_manifest
+
+    m = load_manifest(None, out_path)  # resolves the pointer form
     m.setdefault("batches", {})
     return m
 

@@ -769,6 +769,103 @@ class TestTypedFileStats:
         assert n == df.filter("ts >= '2024-01-02 09:55:00'").count()
 
 
+class TestMapKeyFileStats:
+    """Per-file map key-set evidence (VERDICT r4 missing #3): the block
+    dictionary-hint discipline one level up — a key provably absent from
+    a whole file prunes ``props['k'] op v`` at planning time."""
+
+    @pytest.fixture()
+    def map_files(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "maps")
+        # 3 appends with DISJOINT key sets: k0 only in file 0, etc.
+        for i in range(3):
+            df = spark.range(400).selectExpr(
+                f"concat('e{i}-', id) AS eid",
+                f"map(concat('k', {i}), cast(id as string), 'shared', 'x') "
+                "AS props",
+            )
+            df.repartition(1).write.format("aisle").mode("append").save(out)
+        return out
+
+    def test_manifest_carries_key_sets(self, spark, map_files):
+        m = json.load(open(os.path.join(map_files, "_aisle_files.json")))
+        assert len(m["files"]) == 3
+        seen = []
+        for st in m["file_stats"].values():
+            ks = st["props"]["keys"]
+            assert "shared" in ks and len(ks) == 2
+            seen.append([k for k in ks if k != "shared"][0])
+        assert sorted(seen) == ["k0", "k1", "k2"]
+
+    def test_planning_drops_keyless_files(self, spark, map_files):
+        r = AisleReader(map_files, where="props['k1'] = '7'")
+        assert len(list(r.partitions())) == 1
+        r = AisleReader(map_files, where="props['shared'] = 'x'")
+        assert len(list(r.partitions())) == 3
+        r = AisleReader(map_files, where="props['nope'] = 'x'")
+        assert list(r.partitions()) == []
+        # absence prunes for EVERY op: missing key evaluates NULL
+        r = AisleReader(map_files, where="props['k1'] <> 'zzz'")
+        assert len(list(r.partitions())) == 1
+
+    def test_results_exact_through_where_option(self, spark, map_files):
+        got = (
+            spark.read.format("aisle")
+            .option("where", "props['k1'] = '7'")
+            .load(map_files)
+            .select("eid")
+            .collect()
+        )
+        assert sorted(r.eid for r in got) == ["e1-7"]
+        got = (
+            spark.read.format("aisle")
+            .option("where", "props['shared'] = 'x' AND props['k2'] >= '350'")
+            .load(map_files)
+            .count()
+        )
+        # string comparison: '350'..'399' plus '36'..'39' etc — compare
+        # against Spark's own evaluation for exactness
+        exp = (
+            spark.read.format("aisle").load(map_files)
+            .filter("try_element_at(props, 'shared') = 'x' AND "
+                    "try_element_at(props, 'k2') >= '350'")
+            .count()
+        )
+        assert got == exp and got > 0
+
+    def test_compaction_recomputes_key_sets(self, spark, map_files):
+        from aisle_spark.maintenance import compact_encoded
+
+        compact_encoded(spark, map_files, target_files=1)
+        m = json.load(open(os.path.join(map_files, "_aisle_files.json")))
+        assert len(m["files"]) == 1
+        st = next(iter(m["file_stats"].values()))
+        assert st["props"]["keys"] == ["k0", "k1", "k2", "shared"]
+
+    def test_too_many_keys_is_no_evidence(self, spark, tmp_path):
+        from aisle_spark.schema import MAP_KEYS_MAX
+
+        register(spark)
+        out = str(tmp_path / "widemap")
+        df = spark.range(300).selectExpr(
+            "concat('e-', id) AS eid",
+            f"map(concat('k', id % {MAP_KEYS_MAX + 8}), 'v') AS props",
+        )
+        df.repartition(1).write.format("aisle").mode("append").save(out)
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        st = next(iter(m["file_stats"].values()))
+        assert "props" not in st  # exact-or-nothing
+        # no evidence => every file kept, results stay exact
+        got = (
+            spark.read.format("aisle")
+            .option("where", "props['k3'] = 'v'")
+            .load(out)
+            .count()
+        )
+        assert got == df.filter("try_element_at(props, 'k3') = 'v'").count()
+
+
 class TestFileKeepDomains:
     """file_keep unit semantics in the typed JSON bound domain."""
 

@@ -297,3 +297,81 @@ class TestDeltaSnapshots:
 
         with _pytest.raises((FileNotFoundError, OSError)):
             read_snapshot(None, root, 20)
+
+
+class TestManifestPointerForm:
+    """Current-state manifest past _MANIFEST_POINTER_MIN_FILES files
+    (VERDICT r4 missing #2): the commit writes a delta snapshot plus a
+    ~32-byte pointer swap — O(changed) bytes at any table size — and
+    every reader resolves the pointer through the snapshot chain.
+
+    The datasource writer commits in a separate Python worker (default
+    threshold there), so these tests flip the table into pointer form
+    via an IN-PROCESS commit (compaction) with the threshold patched —
+    which also proves the worker-side commit path RESOLVES a pointer it
+    finds when a later append merges through it."""
+
+    @pytest.fixture()
+    def pointer_table(self, spark, tmp_path, monkeypatch):
+        import aisle_spark.pipeline as pl
+
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "pt")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(43, 1200)]))
+        for i in range(4):
+            part = df.filter(F.crc32(F.col("doc_id")) % 4 == i).repartition(1)
+            part.write.format("aisle").option("sortCols", "source").mode(
+                "append"
+            ).save(out)
+        assert "files" in _manifest(out)  # below threshold: full form
+        monkeypatch.setattr(pl, "_MANIFEST_POINTER_MIN_FILES", 1)
+        compact_encoded(spark, out, target_files=3)
+        return df, out
+
+    def test_manifest_is_pointer_and_readers_resolve(self, spark, pointer_table):
+        from aisle_spark.pipeline import load_manifest
+
+        df, out = pointer_table
+        assert _manifest(out) == {"version": 5, "pointer": True}
+        m = load_manifest(None, out)
+        assert len(m["files"]) >= 2 and set(m["file_stats"]) == set(m["files"])
+        # full read through the datasource (planning resolves the pointer)
+        assert spark.read.format("aisle").load(out).count() == df.count()
+        got = (
+            spark.read.format("aisle")
+            .option("where", "source = 'web'")
+            .load(out)
+            .count()
+        )
+        assert got == df.filter("source = 'web'").count()
+        # library path
+        from aisle_spark.pipeline import read_encoded
+
+        blocks, _schema = read_encoded(spark, out)
+        assert blocks.selectExpr("sum(n_rows)").collect()[0][0] == df.count()
+
+    def test_append_merges_through_pointer(self, spark, pointer_table):
+        """The writer-commit worker finds a POINTER manifest and must
+        read-merge through the snapshot chain, never drop files."""
+        from pyspark.sql import functions as F
+
+        df, out = pointer_table
+        extra = df.limit(50).withColumn("doc_id", F.concat(F.lit("x-"), "doc_id"))
+        extra.repartition(1).write.format("aisle").mode("append").save(out)
+        n = spark.read.format("aisle").load(out).count()
+        assert n == df.count() + 50
+
+    def test_vacuum_and_time_travel_on_pointer_table(self, spark, pointer_table):
+        from aisle_spark.maintenance import expire_snapshots
+
+        df, out = pointer_table
+        # versionAsOf pins a pre-pointer snapshot
+        got = (
+            spark.read.format("aisle").option("versionAsOf", "1").load(out).count()
+        )
+        assert got < df.count()
+        expire_snapshots(out, keep_last=1)
+        vacuum_encoded(out, min_age_seconds=0)
+        assert spark.read.format("aisle").load(out).count() == df.count()

@@ -311,6 +311,19 @@ class TestScanSum:
         exp = df.agg(F.sum("v")).collect()[0][0]
         assert got == exp
 
+    def test_all_null_selection_sums_to_null(self, spark):
+        """SQL SUM over a fully-NULL selection is NULL, not 0 — the
+        recorded per-block __sum of an all-null block is 0 and must map
+        back to NULL in the sure branch."""
+        from aisle_spark.pipeline import scan_sum
+
+        df = spark.range(2000).selectExpr(
+            "id", "cast(NULL as bigint) AS v"
+        )
+        blocks = encode_table(df, parts=1, block_rows=512)
+        schema = arrow_schema_of(df)
+        assert scan_sum(blocks, schema, "v").collect()[0].total is None
+
     def test_empty_is_null_and_float_rejected(self, spark, table):
         from aisle_spark.filterspec import col
         from aisle_spark.pipeline import scan_sum
@@ -322,3 +335,118 @@ class TestScanSum:
         fb = encode_table(fdf, parts=1)
         with pytest.raises(TypeError, match="order-dependent"):
             scan_sum(fb, arrow_schema_of(fdf), "x")
+
+
+class TestScanSumBy:
+    def test_sum_by_sorted_group_matches(self, spark, table):
+        from aisle_spark.pipeline import scan_sum_by
+
+        df, blocks, schema = table
+        for sql in (None, "n_tok > 300"):
+            got = {
+                r.source: r.total
+                for r in scan_sum_by(
+                    blocks, schema, "source", "n_tok", where=sql
+                ).collect()
+            }
+            base = df.filter(sql) if sql else df
+            exp = {
+                r.source: r.s
+                for r in base.groupBy("source")
+                .agg(F.sum("n_tok").alias("s"))
+                .collect()
+            }
+            assert got == exp, sql
+
+    def test_sure_blocks_contribute_without_decode(self, spark, table):
+        """On the source-sorted layout most blocks are single-valued in
+        the group column; with no predicate the boundary set must be
+        empty or tiny, yet the result stays exact."""
+        df, blocks, schema = table
+        from aisle_spark.pipeline import scan_sum_by
+
+        gmin, gmax = F.col("source__min"), F.col("source__max")
+        single = (gmin == gmax) & (F.col("source__nulls") == 0)
+        n_single = blocks.filter(single & F.col("n_tok__sum").isNotNull()).count()
+        assert n_single > 0  # the stats-only path genuinely fires
+        got = {
+            r.source: r.total
+            for r in scan_sum_by(blocks, schema, "source", "n_tok").collect()
+        }
+        exp = {
+            r.source: r.s
+            for r in df.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+        }
+        assert got == exp
+
+    def test_decimal_sum_by_exact(self, spark):
+        import decimal
+
+        from aisle_spark.pipeline import scan_sum_by
+
+        df = spark.range(4000).selectExpr(
+            "id",
+            "cast(id * 1.37 as decimal(14,2)) AS amt",
+            "concat('g', cast(id % 3 as string)) AS g",
+        )
+        blocks = encode_table(df, parts=2, block_rows=512, sort_cols=["g", "id"])
+        schema = arrow_schema_of(df)
+        got = {
+            r.g: r.total
+            for r in scan_sum_by(blocks, schema, "g", "amt", where="id < 3500").collect()
+        }
+        exp = {
+            r.g: r.s
+            for r in df.filter("id < 3500")
+            .groupBy("g")
+            .agg(F.sum("amt").alias("s"))
+            .collect()
+        }
+        assert got == exp
+        assert all(isinstance(v, decimal.Decimal) for v in got.values())
+
+    def test_null_groups_and_null_sums(self, spark):
+        from aisle_spark.pipeline import scan_sum_by
+
+        df = spark.range(3000).selectExpr(
+            "id",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('g', cast(id % 2 as string)) END AS g",
+            "CASE WHEN id % 5 = 0 THEN NULL ELSE id END AS v",
+        )
+        blocks = encode_table(df, parts=2, block_rows=256, sort_cols=["g"])
+        schema = arrow_schema_of(df)
+        got = {
+            r.g: r.total
+            for r in scan_sum_by(blocks, schema, "g", "v").collect()
+        }
+        exp = {
+            r.g: r.s
+            for r in df.groupBy("g").agg(F.sum("v").alias("s")).collect()
+        }
+        assert got == exp
+
+    def test_legacy_table_without_sums(self, spark, table):
+        from aisle_spark.pipeline import scan_sum_by
+
+        df, blocks, schema = table
+        legacy = blocks.drop("n_tok__sum")
+        got = {
+            r.source: r.total
+            for r in scan_sum_by(legacy, schema, "source", "n_tok").collect()
+        }
+        exp = {
+            r.source: r.s
+            for r in df.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+        }
+        assert got == exp
+
+    def test_rejects_bad_columns(self, spark, table):
+        from aisle_spark.pipeline import scan_sum_by
+
+        _df, blocks, schema = table
+        with pytest.raises(TypeError, match="group column"):
+            scan_sum_by(blocks, schema, "tokens", "n_tok")
+        with pytest.raises(TypeError, match="integer and decimal"):
+            scan_sum_by(blocks, schema, "source", "doc_id")
+        with pytest.raises(KeyError):
+            scan_sum_by(blocks, schema, "source", "nope")

@@ -23,7 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(n_files: int, appends: int = 16) -> dict:
-    from aisle_spark.pipeline import _SNAP_DIR, publish_manifest, read_snapshot
+    from aisle_spark.pipeline import (
+        _SNAP_DIR,
+        load_manifest,
+        publish_manifest,
+        read_snapshot,
+    )
 
     root = tempfile.mkdtemp(prefix="aisle_growth_")
     try:
@@ -34,6 +39,8 @@ def measure(n_files: int, appends: int = 16) -> dict:
         publish_manifest(None, root, {"files": files, "file_stats": stats})
         full_bytes = os.path.getsize(f"{root}/{_SNAP_DIR}/v{1:08d}.json")
         delta_sizes = []
+        current_sizes = []  # _aisle_files.json bytes per commit (r5:
+        # pointer form past _MANIFEST_POINTER_MIN_FILES => O(1) swap)
         for k in range(appends):
             f = f"part-new{k:05d}-0123456789abcdef0123456789abcdef.parquet"
             files = sorted(files + [f])
@@ -42,21 +49,33 @@ def measure(n_files: int, appends: int = 16) -> dict:
             delta_sizes.append(
                 os.path.getsize(f"{root}/{_SNAP_DIR}/v{v:08d}.json")
             )
+            current_sizes.append(os.path.getsize(f"{root}/_aisle_files.json"))
         t0 = time.time()
         snap = read_snapshot(None, root, v)
         replay_ms = round((time.time() - t0) * 1000, 2)
         assert len(snap["files"]) == n_files + appends
+        t0 = time.time()
+        cur = load_manifest(None, root)
+        resolve_ms = round((time.time() - t0) * 1000, 2)
+        assert cur["files"] == snap["files"]
+        commit_per = [d + c for d, c in zip(delta_sizes, current_sizes)]
         return {
             "n_files": n_files,
             "full_snapshot_bytes": full_bytes,
             "delta_snapshot_bytes_median": sorted(delta_sizes)[len(delta_sizes) // 2],
+            "current_manifest_bytes_median": sorted(current_sizes)[
+                len(current_sizes) // 2
+            ],
+            "total_commit_bytes_median": sorted(commit_per)[len(commit_per) // 2],
             "delta_vs_full": round(
-                sorted(delta_sizes)[len(delta_sizes) // 2] / full_bytes, 5
+                sorted(commit_per)[len(commit_per) // 2] / full_bytes, 6
             ),
             "replay_chain_ms": replay_ms,
-            "note": "current manifest (_aisle_files.json) stays full: one "
-                    "O(files) write per commit remains; snapshots are the "
-                    "per-commit growth term this bounds",
+            "pointer_resolve_ms": resolve_ms,
+            "note": "total_commit_bytes = delta snapshot + current-state "
+                    "swap; O(changed) at every table size past the pointer "
+                    "threshold (periodic full checkpoints amortize, "
+                    "Delta-Lake style)",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
