@@ -194,6 +194,7 @@ def cmd_compact(args) -> None:
         args.table,
         target_files=args.target_files,
         target_mb=args.target_mb,
+        min_file_mb=args.min_file_mb,
         order_by=args.order_by,
     )
     print(summary)
@@ -306,6 +307,10 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--table", required=True)
     c.add_argument("--target-files", type=int, default=None)
     c.add_argument("--target-mb", type=int, default=256)
+    c.add_argument(
+        "--min-file-mb", dest="min_file_mb", type=float, default=None,
+        help="incremental OPTIMIZE: only rewrite files smaller than this",
+    )
     c.add_argument("--order-by", default=None,
                    help="cluster output files by this column's block minima")
     c.add_argument("--vacuum", action="store_true",

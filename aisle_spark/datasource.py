@@ -1439,19 +1439,38 @@ class AisleWriter(DataSourceArrowWriter):
         # get last-writer-wins; see manifest_lock)
         with manifest_lock(self.fs, self.path):
             files, fstats = new_files, new_stats
+            extras: dict = {}
             if not self.overwrite and _exists(self.fs, manifest):
                 from aisle_spark.pipeline import load_manifest
 
                 old = load_manifest(self.fs, self.path)
                 files = sorted(set(old["files"]) | set(files))
                 fstats = {**old.get("file_stats", {}), **fstats}
+                # carry manifest extras forward — dropping the streaming
+                # sink's "batches" map here would let a later batch
+                # REPLAY add duplicate rows instead of replacing files
+                # "compacted_from" must NOT ride along: it marks a commit
+                # whose files carry only already-emitted rows, and a
+                # stream reader skips such commits — tagging an APPEND
+                # with it would hide the new file from streams forever
+                extras = {
+                    k: v
+                    for k, v in old.items()
+                    if k
+                    not in (
+                        "files", "file_stats", "version", "pointer",
+                        "compacted_from",
+                    )
+                }
             # local: tmp + atomic rename; object store: one atomic PUT —
             # the same commit discipline as the direct-write encode; every
             # commit also publishes an immutable snapshot (time travel)
             from aisle_spark.pipeline import publish_manifest
 
             publish_manifest(
-                self.fs, self.path, {"files": files, "file_stats": fstats}
+                self.fs,
+                self.path,
+                {**extras, "files": files, "file_stats": fstats},
             )
         _write_schema_sidecar(self.path, self._arrow_schema(), fs=self.fs)
 

@@ -52,10 +52,19 @@ def compact_encoded(
     target_files: int | None = None,
     target_mb: int = 256,
     order_by: str | list[str] | None = None,
+    min_file_mb: float | None = None,
 ) -> dict:
     """Rewrite the committed block files into ``target_files`` larger ones
     (default: total committed bytes / ``target_mb``). Returns a summary
-    dict. Payloads are never decoded; only block rows move."""
+    dict. Payloads are never decoded; only block rows move.
+
+    ``min_file_mb``: INCREMENTAL mode — only files smaller than this are
+    rewritten; files already at target size survive untouched (with
+    their manifest stats). At 10^5-file scale a nightly OPTIMIZE must
+    not re-shuffle the 99% of bytes that previous runs already
+    compacted — the size-thresholded form of lakehouse OPTIMIZE. The
+    run is a no-op (``skipped``) when fewer than two files are under
+    the threshold."""
     fs, root = _fs_of(path)
     root = root.rstrip("/")
     spark_root = path.rstrip("/")  # Spark sees the original path/URI
@@ -67,9 +76,21 @@ def compact_encoded(
     if fs is None:
         import os
 
-        total = sum(os.path.getsize(f"{root}/{f}") for f in files)
+        sizes = {f: os.path.getsize(f"{root}/{f}") for f in files}
     else:
-        total = sum(i.size for i in fs.get_file_info([f"{root}/{f}" for f in files]))
+        infos = fs.get_file_info([f"{root}/{f}" for f in files])
+        sizes = {f: i.size for f, i in zip(files, infos)}
+    if min_file_mb is not None:
+        cutoff = int(min_file_mb * 1024 * 1024)
+        files = [f for f in files if sizes[f] < cutoff]
+        if len(files) < 2:
+            return {
+                "files_before": len(files),
+                "files_after": len(files),
+                "skipped": True,
+                "reason": f"fewer than 2 files under {min_file_mb} MB",
+            }
+    total = sum(sizes[f] for f in files)
     n_out = target_files or max(1, round(total / (target_mb * 1024 * 1024)))
 
     subdir = f"compact-{uuid.uuid4().hex[:12]}"
@@ -118,9 +139,17 @@ def compact_encoded(
             },
         }
         if "batches" in old:
-            # streaming-sink tables: retire the per-batch map — all
-            # history is now represented by the compacted file set
-            payload["batches"] = {}
+            # streaming-sink tables: retire the per-batch map for
+            # compacted files (their history is now the compacted set)
+            # but KEEP the replace-mapping for files an incremental run
+            # left untouched — a replayed batch must still replace, not
+            # duplicate, its surviving files
+            surv = set(survivors)
+            payload["batches"] = {
+                bid: kept
+                for bid, flist in old.get("batches", {}).items()
+                if (kept := [f for f in flist if f in surv])
+            }
         from aisle_spark.pipeline import publish_manifest
 
         publish_manifest(fs, root, payload)

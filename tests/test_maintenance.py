@@ -375,3 +375,93 @@ class TestManifestPointerForm:
         expire_snapshots(out, keep_last=1)
         vacuum_encoded(out, min_age_seconds=0)
         assert spark.read.format("aisle").load(out).count() == df.count()
+
+
+class TestIncrementalCompaction:
+    """Size-thresholded OPTIMIZE (r5): only files under ``min_file_mb``
+    are rewritten — a nightly compaction at 10^5 files must not
+    re-shuffle bytes previous runs already compacted."""
+
+    @pytest.fixture()
+    def mixed_table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "mix")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(45, 4000)]))
+        # one BIG append (90% of rows), three small ones
+        big = df.filter(F.crc32(F.col("doc_id")) % 10 < 7)
+        big.repartition(1).write.format("aisle").mode("append").save(out)
+        for i in range(3):
+            df.filter(F.crc32(F.col("doc_id")) % 10 == 7 + i).repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        return df, out
+
+    def test_only_small_files_rewritten(self, spark, mixed_table):
+        df, out = mixed_table
+        before = _manifest(out)
+        sizes = {
+            f: os.path.getsize(os.path.join(out, f)) for f in before["files"]
+        }
+        big_file = max(sizes, key=sizes.get)
+        cutoff_mb = (sizes[big_file] - 1) / (1024 * 1024)
+        s = compact_encoded(spark, out, target_files=1, min_file_mb=cutoff_mb)
+        assert s["files_before"] == 3 and s["files_after"] == 1
+        after = _manifest(out)
+        assert big_file in after["files"]  # untouched survivor
+        assert len(after["files"]) == 2
+        # survivor keeps its manifest stats; results stay exact
+        assert big_file in after["file_stats"]
+        assert spark.read.format("aisle").load(out).count() == df.count()
+
+    def test_idempotent_when_nothing_small(self, spark, mixed_table):
+        _df, out = mixed_table
+        compact_encoded(spark, out, target_files=1, min_file_mb=0.0001)
+        s = compact_encoded(spark, out, target_files=1, min_file_mb=0.0001)
+        assert s["skipped"] and "fewer than 2" in s["reason"]
+
+    def test_streaming_batches_survive_for_untouched_files(
+        self, spark, tmp_path
+    ):
+        """Incremental compaction of a streaming-sink table keeps the
+        replace-mapping for surviving batch files (a replayed batch must
+        replace, never duplicate)."""
+        import json as _json
+
+        from aisle_spark.streaming import _commit_batch
+
+        register(spark)
+        out = str(tmp_path / "st")
+        os.makedirs(out)
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(46, 2000)]))
+        # two "batches" written through the datasource + batch map
+        from pyspark.sql import functions as F
+
+        for i in range(2):
+            df.filter(F.crc32(F.col("doc_id")) % 2 == i).repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        m = _manifest(out)
+        f0, f1 = sorted(m["files"])[:2]
+        _commit_batch(out, 0, [f0])
+        _commit_batch(out, 1, [f1])
+        sizes = {f: os.path.getsize(os.path.join(out, f)) for f in (f0, f1)}
+        small = min(sizes, key=sizes.get)
+        keep = f1 if small == f0 else f0
+        # threshold between the two sizes: need >=2 small files to run,
+        # so append one more tiny file into the small batch
+        df.limit(20).repartition(1).write.format("aisle").mode("append").save(out)
+        extra = sorted(set(_manifest(out)["files"]) - {f0, f1})[0]
+        _commit_batch(out, 2, [extra])
+        cutoff = (sizes[keep] - 1) / (1024 * 1024)
+        s = compact_encoded(spark, out, target_files=1, min_file_mb=cutoff)
+        assert not s.get("skipped")
+        from aisle_spark.pipeline import load_manifest
+
+        after = load_manifest(None, out)
+        assert keep in after["files"]
+        batches = after.get("batches", {})
+        kept_lists = [fl for fl in batches.values() if keep in fl]
+        assert kept_lists  # surviving file still batch-mapped
+        assert all(small not in fl and extra not in fl for fl in batches.values())
