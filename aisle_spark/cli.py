@@ -153,6 +153,7 @@ def cmd_aggregate(args) -> None:
 
     from aisle_spark.pipeline import (
         read_encoded,
+        scan_avg,
         scan_count,
         scan_count_by,
         scan_min_max,
@@ -172,6 +173,8 @@ def cmd_aggregate(args) -> None:
         out = scan_sum_by(blocks, schema, group, val, where=where)
     elif args.sum:
         out = scan_sum(blocks, schema, args.sum, where=where)
+    elif args.avg:
+        out = scan_avg(blocks, schema, args.avg, where=where)
     elif args.min_max:
         out = scan_min_max(blocks, schema, args.min_max, where=where)
     else:  # --count is the default aggregate
@@ -294,6 +297,7 @@ def main(argv: list[str] | None = None) -> None:
     ag = a.add_mutually_exclusive_group()
     ag.add_argument("--count", action="store_true", help="COUNT(*) (default)")
     ag.add_argument("--sum", default=None, metavar="COL")
+    ag.add_argument("--avg", default=None, metavar="COL")
     ag.add_argument("--min-max", dest="min_max", default=None, metavar="COL")
     ag.add_argument("--count-by", dest="count_by", default=None, metavar="COL")
     ag.add_argument(

@@ -1327,6 +1327,109 @@ def scan_sum(
     )
 
 
+def scan_avg(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    column: str,
+    where: "Spec | str | None" = None,
+    opts: "PruneOptions | None" = None,
+) -> DataFrame:
+    """``SELECT avg(col) WHERE …`` from block statistics: sure blocks
+    contribute (recorded ``__sum``, non-null count ``n_rows - __nulls``)
+    without decoding; boundary blocks — and blocks missing either stat —
+    decode and aggregate exactly. Exact domains only (int/decimal, like
+    scan_sum); sum and count accumulate exactly and divide ONCE at the
+    end (decimal division, ≥6 fractional digits, then double). Returns a
+    one-row DataFrame ``(avg)`` — double, NULL when no non-null values
+    match."""
+    import pyarrow as _pa
+
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+    from aisle_spark.schema import specs_for_schema
+
+    opts = opts or DEFAULT_OPTIONS
+    spec_ = next(
+        (s for s in specs_for_schema(schema) if s.name == column), None
+    )
+    if spec_ is None:
+        raise KeyError(f"unknown column {column}")
+    is_decimal = spec_.kind == "decimal"
+    if not (
+        is_decimal
+        or (
+            spec_.kind == "int"
+            and not _pa.types.is_date(spec_.arrow_type)
+            and not _pa.types.is_boolean(spec_.arrow_type)
+        )
+    ):
+        raise TypeError(
+            f"scan_avg supports integer and decimal columns; {column!r} is "
+            f"{spec_.kind} (float averages are order-dependent — use scan + agg)"
+        )
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    sum_name, nulls_name = f"{column}__sum", f"{column}__nulls"
+    has_stats = sum_name in blocks.columns and nulls_name in blocks.columns
+    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
+    keep_mask = where.keep(opts) if where is not None else F.lit(True)
+    scale = spec_.arrow_type.scale if is_decimal else 0
+    if has_stats:
+        sure_mask = (
+            where_sure
+            & F.col(f"`{sum_name}`").isNotNull()
+            & F.col(f"`{nulls_name}`").isNotNull()
+        )
+        sure = blocks.filter(sure_mask).agg(
+            F.sum(F.col(f"`{sum_name}`").cast("decimal(38,0)")).alias("t"),
+            F.sum(
+                (F.col("n_rows") - F.col(f"`{nulls_name}`")).cast("long")
+            ).alias("c"),
+        )
+        boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
+    else:
+        sure = None
+        boundary_blocks = blocks.filter(keep_mask)
+
+    def finish(df: DataFrame) -> DataFrame:
+        # exact unscaled total / (count * 10^scale): one division at the
+        # end — decimal/decimal division rounds the true quotient once
+        return df.select(
+            F.when(
+                F.coalesce(F.col("c"), F.lit(0)) > 0,
+                (
+                    F.col("t")
+                    / (F.col("c").cast("decimal(38,0)") * F.lit(10**scale))
+                ).cast("double"),
+            ).alias("avg")
+        )
+
+    if boundary_blocks.isEmpty():
+        if sure is None:
+            return blocks.sparkSession.range(1).select(
+                F.lit(None).cast("double").alias("avg")
+            )
+        return finish(sure)
+    proj = sorted(
+        {column.split(".")[0]}
+        | ({c.split(".")[0] for c in where.columns()} if where else set())
+    )
+    bval = F.col(column) if "." in column else F.col(f"`{column}`")
+    cnt_src = bval
+    if is_decimal:
+        bval = (bval * F.lit(10**scale)).cast("decimal(38,0)")
+    else:
+        bval = bval.cast("decimal(38,0)")
+    boundary = scan(boundary_blocks, schema, where=where, columns=proj).agg(
+        F.sum(bval).alias("t"), F.count(cnt_src).cast("long").alias("c")
+    )
+    merged = boundary if sure is None else sure.unionAll(boundary)
+    return finish(
+        merged.agg(F.sum("t").alias("t"), F.sum("c").alias("c"))
+    )
+
+
 def scan_count_by(
     blocks: DataFrame,
     schema: pa.Schema,

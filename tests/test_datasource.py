@@ -843,6 +843,30 @@ class TestMapKeyFileStats:
         st = next(iter(m["file_stats"].values()))
         assert st["props"]["keys"] == ["k0", "k1", "k2", "shared"]
 
+    def test_nested_struct_map_key_sets_recorded(self, spark, tmp_path):
+        """A map nested inside a struct gets per-file key evidence for
+        free through the dotted leaf name (wrap.props) — recorded by the
+        writer and preserved by compaction recompute."""
+        from aisle_spark.maintenance import compact_encoded
+
+        register(spark)
+        out = str(tmp_path / "nmap")
+        for i in range(2):
+            df = spark.range(200).selectExpr(
+                f"concat('e{i}-', id) AS eid",
+                f"named_struct('props', map(concat('k', {i}), id)) AS wrap",
+            )
+            df.repartition(1).write.format("aisle").mode("append").save(out)
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        keysets = sorted(
+            tuple(st["wrap.props"]["keys"]) for st in m["file_stats"].values()
+        )
+        assert keysets == [("k0",), ("k1",)]
+        compact_encoded(spark, out, target_files=1)
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        st = next(iter(m["file_stats"].values()))
+        assert st["wrap.props"]["keys"] == ["k0", "k1"]
+
     def test_too_many_keys_is_no_evidence(self, spark, tmp_path):
         from aisle_spark.schema import MAP_KEYS_MAX
 
@@ -1414,4 +1438,111 @@ class TestLeafColumnsOption:
                 .option("columns", "meta.nope")
                 .load(out)
                 .count()
+            )
+
+
+class TestWhereOptionRandomDifferential:
+    """Seeded randomized soundness for the AUTHORITATIVE where option:
+    Spark never re-evaluates it, so the three-tier pruning + in-reader
+    mask must equal a plain DataFrame filter EXACTLY. One WHERE string
+    drives both sides (parse_where and Spark SQL share the grammar
+    subset used here), covering every scalar domain, cross-domain
+    temporal literals (the ADVICE r4 high class), and map-key access."""
+
+    @staticmethod
+    def _rand_where(rng) -> str:
+        def leaf() -> str:
+            k = rng.randrange(10)
+            op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+            if k == 0:
+                return f"n {op} {rng.randrange(0, 3000)}"
+            if k == 1:
+                return f"n {op} {rng.randrange(0, 6000) / 2.0}"
+            if k == 2:
+                return (
+                    f"f {op} {rng.randrange(0, 1000) / 4.0}"
+                    if rng.random() < 0.7
+                    else rng.choice(["f IS NULL", "f IS NOT NULL"])
+                )
+            if k == 3:
+                vals = ", ".join(
+                    f"'s{v}'" for v in rng.sample(range(8), rng.randrange(1, 4))
+                )
+                return f"s IN ({vals})"
+            if k == 4:
+                return f"s {rng.choice(['=', '<>'])} 's{rng.randrange(0, 8)}'"
+            if k == 5:
+                pat = rng.choice(["s0%", "s%", "%1%", "zzz%"])
+                return f"s LIKE '{pat}'"
+            if k == 6:
+                day = rng.randrange(1, 28)
+                lit = (
+                    f"TIMESTAMP '2024-01-{day:02d} 12:00:00'"
+                    if rng.random() < 0.5
+                    else f"DATE '2024-01-{day:02d}'"  # cross-domain on ts
+                )
+                return f"ts {op} {lit}"
+            if k == 7:
+                lo, hi = sorted((rng.randrange(0, 3000), rng.randrange(0, 3000)))
+                return f"n BETWEEN {lo} AND {hi}"
+            if k == 8:
+                d1, d2 = sorted((rng.randrange(1, 28), rng.randrange(1, 28)))
+                return (
+                    f"ts BETWEEN TIMESTAMP '2024-01-{d1:02d} 00:00:00' "
+                    f"AND TIMESTAMP '2024-01-{d2:02d} 23:00:00'"
+                )
+            key = rng.choice(["k0", "k1", "k2", "nope"])
+            return f"try_element_at(props, '{key}') {op} {rng.randrange(0, 3000)}"
+
+        def tree(depth: int) -> str:
+            if depth == 0 or rng.random() < 0.4:
+                return leaf()
+            a, b = tree(depth - 1), tree(depth - 1)
+            k = rng.randrange(3)
+            if k == 0:
+                return f"({a}) AND ({b})"
+            if k == 1:
+                return f"({a}) OR ({b})"
+            return f"NOT ({a})"
+
+        return tree(2)
+
+    @pytest.fixture(scope="class")
+    def table(self, spark, tmp_path_factory):
+        register(spark)
+        out = str(tmp_path_factory.mktemp("wrand") / "t")
+        df = spark.range(3000).selectExpr(
+            "concat('d-', id) AS doc_id",
+            "cast(id as int) AS n",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE cast(id % 997 as double) / 4.0 END AS f",
+            "concat('s', id % 8) AS s",
+            "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, cast(id % 40000 as int), 0) AS ts",
+            "map(concat('k', id % 3), id % 2900) AS props",
+        )
+        for i in range(3):
+            df.filter(f"id % 3 = {i}").repartition(1).write.format(
+                "aisle"
+            ).option("sortCols", "s,n").mode("append").save(out)
+        return df.cache(), out
+
+    @pytest.mark.parametrize("seed", [11, 12, 13])
+    def test_where_option_equals_dataframe_filter(self, spark, table, seed):
+        import random
+
+        df, out = table
+        rng = random.Random(seed)
+        for _ in range(8):
+            w = self._rand_where(rng)
+            got = {
+                r.doc_id
+                for r in spark.read.format("aisle")
+                .option("where", w)
+                .option("columns", "doc_id")
+                .load(out)
+                .collect()
+            }
+            exp = {r.doc_id for r in df.filter(w).select("doc_id").collect()}
+            assert got == exp, (
+                f"seed={seed} where={w!r}: "
+                f"extra={sorted(got - exp)[:5]} missing={sorted(exp - got)[:5]}"
             )

@@ -450,3 +450,69 @@ class TestScanSumBy:
             scan_sum_by(blocks, schema, "source", "doc_id")
         with pytest.raises(KeyError):
             scan_sum_by(blocks, schema, "source", "nope")
+
+
+class TestScanAvg:
+    def test_int_avg_matches(self, spark, table):
+        import math
+        from fractions import Fraction
+
+        from aisle_spark.pipeline import scan_avg
+
+        df, blocks, schema = table
+        for sql in (None, "source = 'web'", "n_tok BETWEEN 50 AND 4000"):
+            got = scan_avg(blocks, schema, "n_tok", where=sql).collect()[0].avg
+            base = df.filter(sql) if sql else df
+            rows = [r.n_tok for r in base.select("n_tok").collect() if r.n_tok is not None]
+            exp = Fraction(sum(rows), len(rows))
+            assert math.isclose(got, float(exp), rel_tol=1e-8), sql
+
+    def test_nulls_excluded_and_empty_null(self, spark):
+        import math
+
+        from aisle_spark.filterspec import col
+        from aisle_spark.pipeline import scan_avg
+
+        df = spark.range(3000).selectExpr(
+            "id", "CASE WHEN id % 5 = 0 THEN NULL ELSE id END AS v"
+        )
+        blocks = encode_table(df, parts=2, block_rows=256)
+        schema = arrow_schema_of(df)
+        got = scan_avg(blocks, schema, "v").collect()[0].avg
+        vals = [i for i in range(3000) if i % 5 != 0]
+        assert math.isclose(got, sum(vals) / len(vals), rel_tol=1e-8)
+        assert (
+            scan_avg(blocks, schema, "v", where=col("id") > 10**9)
+            .collect()[0]
+            .avg
+            is None
+        )
+
+    def test_decimal_avg_and_float_rejected(self, spark):
+        import math
+
+        from aisle_spark.pipeline import scan_avg
+
+        df = spark.range(2000).selectExpr(
+            "id", "cast(id * 1.37 as decimal(14,2)) AS amt"
+        )
+        blocks = encode_table(df, parts=1, block_rows=512)
+        schema = arrow_schema_of(df)
+        got = scan_avg(blocks, schema, "amt").collect()[0].avg
+        exp = df.agg(F.avg("amt")).collect()[0][0]
+        assert math.isclose(got, float(exp), rel_tol=1e-8)
+        fdf = spark.range(10).selectExpr("id", "cast(id as double) AS x")
+        fb = encode_table(fdf, parts=1)
+        with pytest.raises(TypeError, match="order-dependent"):
+            scan_avg(fb, arrow_schema_of(fdf), "x")
+
+    def test_legacy_table_without_stats(self, spark, table):
+        import math
+
+        from aisle_spark.pipeline import scan_avg
+
+        df, blocks, schema = table
+        legacy = blocks.drop("n_tok__sum")
+        got = scan_avg(legacy, schema, "n_tok").collect()[0].avg
+        exp = df.agg(F.avg("n_tok")).collect()[0][0]
+        assert math.isclose(got, float(exp), rel_tol=1e-8)
