@@ -639,8 +639,14 @@ def _ds_typed_file_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("aisle")
         .option(
+            # INTEGER price literal: sqlcompile parses 60000.00 as a
+            # Python float and file_keep's float-vs-decimal branch is
+            # deliberately no-evidence (double-cast boundary rounding) —
+            # an int literal coerces exactly into the decimal stat
+            # domain, so this gate genuinely exercises the decimal
+            # manifest-list tier (code-review r5 finding)
             "where",
-            "l_price >= 60000.00 AND delay >= INTERVAL 30000 SECONDS",
+            "l_price >= 60000 AND delay >= INTERVAL 30000 SECONDS",
         )
         .load(_ds_typed_dir(spark, sf_dir))
         .select(
@@ -924,7 +930,7 @@ _DS_QUERIES = {
         "SELECT l_orderkey, l_linenumber, "
         "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS l_price "
         "FROM lineitem "
-        "WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 60000.00 "
+        "WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 60000 "
         "AND floor(l_extendedprice) >= 30000",
     ),
     # typed (epoch-µs) manifest-list bounds: planning drops whole files

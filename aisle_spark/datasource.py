@@ -34,7 +34,10 @@ Scale notes: planning reads ONLY manifest stat columns of the committed
 files (parquet projection pushdown; payload bytes untouched) — the same
 footer-sized I/O the reference's metadata load performs. At 10^5+ files
 the DuckDB scan is itself parallel and the per-file partition list stays
-O(files). No driver-side collect touches payload data anywhere.
+O(files); small files (< 4 MB by their manifest ``__bytes``) bin-pack
+sequentially into combined ~32 MB partitions so a not-yet-OPTIMIZEd
+streaming table never schedules 10^5 near-empty tasks. No driver-side
+collect touches payload data anywhere.
 """
 
 from __future__ import annotations
@@ -155,6 +158,60 @@ def filters_to_spec(filters: Sequence[Filter], leaf_names: set[str]) -> Spec | N
 class AislePartition(InputPartition):
     path: str
     rows: tuple | None  # surviving manifest row numbers; None = all
+    # additional (path, rows) pairs PACKED into this task: at 10^5
+    # small files (a streaming sink's natural state before OPTIMIZE) one
+    # task per file means 10^5 task schedulings for KB of work each —
+    # small files bin-pack sequentially (name order preserves any sort
+    # clustering) up to _PACK_MAX_BYTES per task
+    more: tuple = ()
+
+    def entries(self) -> tuple:
+        return ((self.path, self.rows), *self.more)
+
+
+def planned_files(parts: Sequence["AislePartition"]) -> list[str]:
+    """All file paths a plan will read, unpacking combined partitions —
+    the file-level pruning observable (tests and diagnostics)."""
+    return [path for p in parts for path, _rows in p.entries()]
+
+
+# only files below _PACK_SMALL_BYTES pack (normal-sized files keep one
+# task each so healthy tables lose no parallelism); packed tasks stop
+# growing at _PACK_MAX_BYTES
+_PACK_SMALL_BYTES = 4 * 1024 * 1024
+_PACK_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _pack_partitions(
+    entries: list[tuple[str, tuple | None]], fstats: dict
+) -> list[AislePartition]:
+    """Sequential first-fit packing of small files (size = the manifest's
+    per-file ``__bytes`` stat; unknown size = never packed) into combined
+    partitions. Sequential, not best-fit: committed file lists are name-
+    sorted, so neighbors cover adjacent value ranges under clustering and
+    a packed task stays range-local."""
+    out: list[AislePartition] = []
+    cur: list[tuple[str, tuple | None]] = []
+    cur_b = 0
+
+    def flush() -> None:
+        nonlocal cur, cur_b
+        if cur:
+            out.append(AislePartition(cur[0][0], cur[0][1], tuple(cur[1:])))
+            cur, cur_b = [], 0
+
+    for path, rows in entries:
+        b = (fstats.get(path) or {}).get("__bytes")
+        if not isinstance(b, int) or b >= _PACK_SMALL_BYTES:
+            flush()
+            out.append(AislePartition(path, rows))
+            continue
+        if cur and cur_b + b > _PACK_MAX_BYTES:
+            flush()
+        cur.append((path, rows))
+        cur_b += b
+    flush()
+    return out
 
 
 def _fs_of(path: str):
@@ -449,7 +506,7 @@ class AisleReader(DataSourceReader):
         files, fstats = _manifest_of(self.fs, self.path, self.version)
         prune = self._prune_spec()
         if prune is None or not files:
-            return [AislePartition(f, None) for f in files]
+            return _pack_partitions([(f, None) for f in files], fstats)
         # manifest-list level: whole files drop on their [min,max] bounds
         # before a single manifest row is scanned
         doms = file_stat_domains(self.arrow_schema)
@@ -515,25 +572,27 @@ class AisleReader(DataSourceReader):
         # through the driver; above the cap the reader re-prunes instead
         # (decode_block_filtered skips doomed blocks and chunks) — same
         # result, constant plan size
-        return [
-            AislePartition(
-                f, tuple(rows) if len(rows) <= _PARTITION_ROWS_CAP else None
-            )
-            for f, rows in by_file.items()
-        ]
+        return _pack_partitions(
+            [
+                (f, tuple(rows) if len(rows) <= _PARTITION_ROWS_CAP else None)
+                for f, rows in by_file.items()
+            ],
+            fstats,
+        )
 
     def read(self, partition: AislePartition) -> Iterator[pa.RecordBatch]:
         if partition is None:  # Spark schedules one task when partitions()==[]
             return
-        yield from _decode_file(
-            self.arrow_schema,
-            self.out_schema,
-            partition.path,
-            partition.rows,
-            self._prune_spec(),
-            self.exact_where,
-            fs=self.fs,
-        )
+        for path, rows in partition.entries():  # packed small files
+            yield from _decode_file(
+                self.arrow_schema,
+                self.out_schema,
+                path,
+                rows,
+                self._prune_spec(),
+                self.exact_where,
+                fs=self.fs,
+            )
 
 
 def _decode_file(
@@ -835,10 +894,10 @@ class AisleStreamReader(DataSourceStreamReader):
             n_taken += 1
         if n_taken == len(pend):
             return {"version": latest}  # everything pending fits
-        if self._cursor is not None and self._off_key(last_off) < self._off_key(
-            self._cursor
-        ):  # never move the stream backward (ADVICE r4 low)
-            return dict(self._cursor)
+        # (no backward check needed here: pend is built strictly AFTER
+        # the cursor, so a seeded cursor can never order above last_off;
+        # the cursor-less restart shape is caught by _new_files'
+        # _off_key(end) < _off_key(start) guard — ADVICE r4 low)
         return last_off
 
     @staticmethod

@@ -388,11 +388,13 @@ def expire_snapshots(path: str, keep_last: int = 10) -> list[int]:
     """Delete snapshot files older than the newest ``keep_last`` (the
     retention knob of the time-travel surface). Data files they referenced
     become collectible by the NEXT ``vacuum_encoded``. Never touches the
-    current manifest."""
+    current manifest — including the POINTER form, whose pointed-at
+    snapshot (and chain) always survives regardless of ``keep_last``."""
     import os
 
     from aisle_spark.pipeline import (
         _SNAP_DIR,
+        _fs_read_json,
         _fs_write_json,
         list_snapshots,
         manifest_lock,
@@ -403,13 +405,23 @@ def expire_snapshots(path: str, keep_last: int = 10) -> list[int]:
     root = root.rstrip("/")
     with manifest_lock(fs, root):
         versions = list_snapshots(fs, root)
-        victims = versions[:-keep_last] if keep_last > 0 else versions
-        if victims and keep_last > 0 and len(versions) > keep_last:
+        victims = versions[:-keep_last] if keep_last > 0 else list(versions)
+        try:
+            cur = _fs_read_json(fs, f"{root}/{_MANIFEST}")
+        except (FileNotFoundError, OSError):
+            cur = {}
+        if "files" not in cur and cur.get("version") is not None:
+            # pointer-form current manifest: deleting the pointed-at
+            # snapshot would brick the table (every load_manifest read
+            # resolves through it)
+            victims = [v for v in victims if v < int(cur["version"])]
+        retained = sorted(set(versions) - set(victims))
+        if victims and retained:
             # the oldest RETAINED snapshot may be a delta whose chain
             # passes through the victims; materialize it as a full
             # snapshot first (equivalent content, atomic replace) so
             # every retained chain stops at or after the boundary
-            boundary = versions[-keep_last]
+            boundary = retained[0]
             snap = read_snapshot(fs, root, boundary)
             _fs_write_json(fs, f"{root}/{_SNAP_DIR}/v{boundary:08d}.json", snap)
         for v in victims:

@@ -1607,8 +1607,12 @@ def scan_sum_by(
         boundary_blocks = blocks.filter(keep_mask)
     if boundary_blocks.isEmpty():
         if sure is None:
-            out = blocks.sparkSession.createDataFrame(
-                [], f"`{group_col}` string, t decimal(38,0)"
+            # empty result in the GROUP COLUMN'S type (the __min stat
+            # column shares it) — a hardcoded string schema would break
+            # unions with non-empty results (code-review r5 finding)
+            out = blocks.limit(0).select(
+                gmin.alias(group_col),
+                F.lit(None).cast("decimal(38,0)").alias("t"),
             )
             return out.select(F.col(f"`{group_col}`"), finish(F.col("t")))
         return sure.select(F.col(f"`{group_col}`"), finish(F.col("t")))

@@ -83,6 +83,12 @@ def _commit_batch_locked(out_path: str, batch_id: int, files: list[str]) -> None
 
         stats.update(_recompute_file_stats(None, out_path.rstrip("/"), files))
     m["file_stats"] = stats
+    # a compaction commit leaves "compacted_from" in the current
+    # manifest; republishing it here would tag THIS batch's snapshot as
+    # a compaction commit too, and stream readers skip those
+    # (_additions returns []) — every post-OPTIMIZE batch would be
+    # silently invisible downstream
+    m.pop("compacted_from", None)
     from aisle_spark.pipeline import publish_manifest
 
     publish_manifest(None, out_path, m)

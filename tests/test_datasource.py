@@ -14,10 +14,17 @@ import pytest
 from aisle_spark.datasource import (
     AisleReader,
     filters_to_spec,
+    planned_files,
     register,
 )
 from aisle_spark.pipeline import arrow_schema_of, encode_table, write_encoded
 from aisle_spark.schema import synth_batch
+
+
+def _entries(parts):
+    """Flattened (path, rows) pairs of a plan — unpacks combined
+    small-file partitions."""
+    return [e for p in parts for e in p.entries()]
 
 
 @pytest.fixture(scope="module")
@@ -77,19 +84,19 @@ class TestRead:
 
         df, out = encoded_dir
         reader = AisleReader(out)
-        all_parts = reader.partitions()
+        all_parts = _entries(reader.partitions())
         total_blocks = sum(
-            len(p.rows) if p.rows is not None else 1 for p in all_parts
+            len(rows) if rows is not None else 1 for _p, rows in all_parts
         )
         reader2 = AisleReader(out)
         reader2.pushFilters([EqualTo(("source",), "books")])
-        pruned = reader2.partitions()
-        kept_blocks = sum(len(p.rows) for p in pruned)
+        pruned = _entries(reader2.partitions())
+        kept_blocks = sum(len(rows) for _p, rows in pruned)
         # blocks are sorted on source: 'books' must concentrate
         import pyarrow.parquet as pq
 
         n_total = sum(
-            pq.read_metadata(p.path).num_rows for p in all_parts
+            pq.read_metadata(p).num_rows for p, _rows in all_parts
         )
         assert 0 < kept_blocks < n_total
 
@@ -443,21 +450,23 @@ class TestFilesystemRouting:
 
         r = AisleReader("file://" + local_out)
         r.pushFilters([EqualTo(("source",), "books")])
-        parts = r.partitions()
-        total = sum(len(p.rows) for p in parts)
+        parts = _entries(r.partitions())
+        total = sum(len(rows) for _p, rows in parts)
         r2 = AisleReader("file://" + local_out)
-        allparts = r2.partitions()
+        allparts = planned_files(r2.partitions())
         import pyarrow.parquet as pq
 
         sub = pafs.SubTreeFileSystem(local_out, pafs.LocalFileSystem())
         n_total = 0
-        for p in allparts:
-            with sub.open_input_file(p.path.rsplit("/", 1)[-1]) as fh:
+        for pth in allparts:
+            with sub.open_input_file(pth.rsplit("/", 1)[-1]) as fh:
                 n_total += pq.ParquetFile(fh).metadata.num_rows
         assert 0 < total < n_total
+        from aisle_spark.datasource import AislePartition
+
         rows = []
-        for p in parts:
-            for b in r.read(p):
+        for path, prows in parts:
+            for b in r.read(AislePartition(path, prows)):
                 rows.extend(b.column(0).to_pylist())
         assert rows
 
@@ -532,7 +541,7 @@ class TestFileLevelPruning:
         _df, out = per_source_files
         r = AisleReader(out)
         r.pushFilters([EqualTo(("source",), "web")])
-        touched = {p.path for p in r.partitions()}
+        touched = set(planned_files(r.partitions()))
         assert len(touched) == 1  # exactly the 'web' file
 
     def test_file_keep_superset_of_block_survivors(self, spark, per_source_files):
@@ -551,13 +560,13 @@ class TestFileLevelPruning:
             spec = _rand_spec(rng)
             r = AisleReader(out)
             r.spec = spec
-            with_stats = {p.path: p.rows for p in r.partitions()}
+            with_stats = dict(_entries(r.partitions()))
             stripped = dict(m, file_stats={})
             json.dump(stripped, open(manifest, "w"))
             try:
                 r2 = AisleReader(out)
                 r2.spec = spec
-                without = {p.path: p.rows for p in r2.partitions()}
+                without = dict(_entries(r2.partitions()))
             finally:
                 json.dump(m, open(manifest, "w"))
             assert with_stats == without, repr(spec)
@@ -588,7 +597,7 @@ class TestFileLevelPruning:
         assert m["file_stats"] and set(m["file_stats"]) <= set(m["files"])
         r = AisleReader(out)
         r.pushFilters([EqualTo(("source",), "web")])
-        touched = {p.path for p in r.partitions()}
+        touched = set(planned_files(r.partitions()))
         assert 0 < len(touched) < 3
         got = spark.read.format("aisle").load(out)
         assert got.count() == df.filter(
@@ -689,7 +698,7 @@ class TestTypedFileStats:
 
     def _one_file_planned(self, out, where):
         r = AisleReader(out, where=where)
-        return [p.path for p in r.partitions()]
+        return planned_files(r.partitions())
 
     def test_planning_drops_whole_files_per_type(self, spark, typed_files):
         df, out = typed_files
@@ -800,14 +809,14 @@ class TestMapKeyFileStats:
 
     def test_planning_drops_keyless_files(self, spark, map_files):
         r = AisleReader(map_files, where="props['k1'] = '7'")
-        assert len(list(r.partitions())) == 1
+        assert len(planned_files(r.partitions())) == 1
         r = AisleReader(map_files, where="props['shared'] = 'x'")
-        assert len(list(r.partitions())) == 3
+        assert len(planned_files(r.partitions())) == 3
         r = AisleReader(map_files, where="props['nope'] = 'x'")
         assert list(r.partitions()) == []
         # absence prunes for EVERY op: missing key evaluates NULL
         r = AisleReader(map_files, where="props['k1'] <> 'zzz'")
-        assert len(list(r.partitions())) == 1
+        assert len(planned_files(r.partitions())) == 1
 
     def test_results_exact_through_where_option(self, spark, map_files):
         got = (
@@ -991,6 +1000,14 @@ class TestFileKeepDomains:
         assert not file_keep(stats, col("price") < decimal.Decimal("9.50"))
         # unparseable bound => Unknown => keep (never crash)
         assert file_keep({"price": ["abc", "def"]}, col("price") > decimal.Decimal(1))
+        # INT literal vs decimal domain coerces exactly and prunes (the
+        # where-grammar path: "l_price >= 60000" parses as Python int)
+        doms = {"price": "decimal"}
+        assert not file_keep(stats, col("price") > 11, doms)
+        assert file_keep(stats, col("price") > 10, doms)
+        # float literal vs decimal domain: deliberately no evidence
+        # (double-cast boundary rounding could flip strict comparisons)
+        assert file_keep(stats, col("price") > 11.0, doms)
 
     def test_nan_bound_poisons_merge(self):
         import math
@@ -1075,7 +1092,7 @@ class TestParallelPlanningIO:
         fsw = _CountingFS(r.fs)
         r.fs = fsw
         parts = r.partitions()
-        assert len(parts) == self.N_FILES
+        assert len(planned_files(parts)) == self.N_FILES
         assert fsw.opens == self.N_FILES  # one stat projection per file
         assert 2 <= fsw.max_active <= _PLANNING_IO_THREADS
 
@@ -1116,24 +1133,26 @@ class TestPartitionRowsCap:
         from aisle_spark.filterspec import col
 
         r.spec = col("n_tok") >= 0
-        uncapped = r.partitions()
-        assert any(p.rows is not None and len(p.rows) > 2 for p in uncapped)
+        uncapped = _entries(r.partitions())
+        assert any(rows is not None and len(rows) > 2 for _p, rows in uncapped)
 
         monkeypatch.setattr(D, "_PARTITION_ROWS_CAP", 2)
         r2 = D.AisleReader(out)
         r2.spec = col("n_tok") >= 0
-        capped = r2.partitions()
-        assert {p.path for p in capped} == {p.path for p in uncapped}
+        capped = _entries(r2.partitions())
+        assert {p for p, _ in capped} == {p for p, _ in uncapped}
         assert all(
-            p.rows is None or len(p.rows) <= 2 for p in capped
+            rows is None or len(rows) <= 2 for _p, rows in capped
         )  # plan-size bound holds
 
         # drive the reader over BOTH plans in-process: the rows=None
         # fallback must decode exactly the same row set
-        def all_ids(reader, parts):
+        def all_ids(reader, entries):
+            from aisle_spark.datasource import AislePartition
+
             ids = []
-            for p in parts:
-                for batch in reader.read(p):
+            for path, rows in entries:
+                for batch in reader.read(AislePartition(path, rows)):
                     ids.extend(batch.column("doc_id").to_pylist())
             return sorted(ids)
 
@@ -1148,8 +1167,8 @@ class TestPartitionRowsCap:
         _df, out = encoded_dir
         r = AisleReader(out)
         r.spec = col("source") == "books"
-        parts = r.partitions()
-        assert parts and all(p.rows is not None for p in parts)
+        parts = _entries(r.partitions())
+        assert parts and all(rows is not None for _p, rows in parts)
 
 
 class TestBinaryFileStats:
@@ -1193,7 +1212,7 @@ class TestBinaryFileStats:
         assert len(m["files"]) == 3
         assert all("h" in st for st in m["file_stats"].values())
         r = AisleReader(out, where="h >= '\\x02\\x00'::BLOB")
-        assert len(r.partitions()) == 1  # only the last third's file
+        assert len(planned_files(r.partitions())) == 1  # the last third's file
         got = (
             spark.read.format("aisle")
             .option("where", "h >= '\\x02\\x00'::BLOB")
@@ -1247,9 +1266,9 @@ class TestNullCountFileStats:
         assert len(m["files"]) == 3
         assert all(len(st["v"]) == 4 for st in m["file_stats"].values())
         r = AisleReader(out, where="v IS NULL")
-        assert len(r.partitions()) == 2  # the no-null file never plans
+        assert len(planned_files(r.partitions())) == 2  # no-null file dropped
         r2 = AisleReader(out, where="v IS NOT NULL")
-        assert len(r2.partitions()) == 2  # the all-null file never plans
+        assert len(planned_files(r2.partitions())) == 2  # all-null file dropped
 
     def test_results_exact(self, spark, null_files):
         out = null_files
@@ -1343,13 +1362,13 @@ class TestTypedFileKeepSoundness:
             spec = self._rand_typed_spec(rng)
             r = AisleReader(out)
             r.spec = spec
-            with_stats = {p.path: p.rows for p in r.partitions()}
+            with_stats = dict(_entries(r.partitions()))
             stripped = dict(m, file_stats={})
             json.dump(stripped, open(manifest, "w"))
             try:
                 r2 = AisleReader(out)
                 r2.spec = spec
-                without = {p.path: p.rows for p in r2.partitions()}
+                without = dict(_entries(r2.partitions()))
             finally:
                 json.dump(m, open(manifest, "w"))
             assert with_stats == without, repr(spec)
@@ -1546,3 +1565,75 @@ class TestWhereOptionRandomDifferential:
                 f"seed={seed} where={w!r}: "
                 f"extra={sorted(got - exp)[:5]} missing={sorted(exp - got)[:5]}"
             )
+
+
+class TestSmallFilePacking:
+    """Partition bin-packing (r5): a 10^5-small-file table must not mean
+    10^5 task schedulings — files under _PACK_SMALL_BYTES pack
+    sequentially into combined partitions; results stay exact."""
+
+    def test_small_files_pack_results_exact(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "pk")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(51, 2400)]))
+        for i in range(8):
+            df.filter(F.crc32(F.col("doc_id")) % 8 == i).repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        r = AisleReader(out)
+        parts = r.partitions()
+        files = planned_files(parts)
+        assert len(files) == 8
+        assert len(parts) < 8  # tiny files combined
+        got = spark.read.format("aisle").load(out)
+        assert got.count() == df.count()
+        g = {x.doc_id for x in got.select("doc_id").collect()}
+        assert g == {x.doc_id for x in df.select("doc_id").collect()}
+
+    def test_pack_target_splits_and_keeps_name_order(self, spark, tmp_path):
+        import aisle_spark.datasource as D
+
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "pk2")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(52, 1200)]))
+        for i in range(4):
+            df.filter(F.crc32(F.col("doc_id")) % 4 == i).repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        ordered = sorted(m["files"])
+        sizes = [m["file_stats"][f]["__bytes"] for f in ordered]
+        # a PACK target of two files forces a split into two tasks
+        old_max = D._PACK_MAX_BYTES
+        D._PACK_MAX_BYTES = 2 * max(sizes) + 1
+        try:
+            parts = AisleReader(out).partitions()
+        finally:
+            D._PACK_MAX_BYTES = old_max
+        assert len(parts) == 2 and all(len(p.more) == 1 for p in parts)
+        # sequential packing: name order (= clustering order) preserved
+        assert planned_files(parts) == [os.path.join(out, f) for f in ordered]
+
+    def test_unknown_size_never_packs(self, spark, tmp_path):
+        """A legacy manifest without __bytes must keep one task per file
+        (never guess a file small)."""
+        from pyspark.sql import functions as F
+
+        register(spark)
+        out = str(tmp_path / "pk3")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(53, 900)]))
+        for i in range(3):
+            df.filter(F.crc32(F.col("doc_id")) % 3 == i).repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        m = json.load(open(os.path.join(out, "_aisle_files.json")))
+        for st in m["file_stats"].values():
+            st.pop("__bytes", None)
+        json.dump(m, open(os.path.join(out, "_aisle_files.json"), "w"))
+        parts = AisleReader(out).partitions()
+        assert len(parts) == 3 and all(not p.more for p in parts)
+        assert spark.read.format("aisle").load(out).count() == df.count()

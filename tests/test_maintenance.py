@@ -68,9 +68,11 @@ class TestCompact:
 
         _df, out = small_files_table
         compact_encoded(spark, out, target_files=3, order_by="source")
+        from aisle_spark.datasource import planned_files
+
         r = AisleReader(out)
         r.pushFilters([EqualTo(("source",), "web")])
-        touched = {p.path for p in r.partitions()}
+        touched = set(planned_files(r.partitions()))
         assert 0 < len(touched) < 3
 
     def test_library_read_encoded_still_works(self, spark, small_files_table):
@@ -465,3 +467,85 @@ class TestIncrementalCompaction:
         kept_lists = [fl for fl in batches.values() if keep in fl]
         assert kept_lists  # surviving file still batch-mapped
         assert all(small not in fl and extra not in fl for fl in batches.values())
+
+
+class TestReviewRegressions:
+    """Code-review r5 findings."""
+
+    def test_batch_commit_after_compaction_visible_to_streams(
+        self, spark, tmp_path
+    ):
+        """A stream-sink batch commit AFTER an OPTIMIZE must not inherit
+        the manifest's 'compacted_from' tag — stream readers skip
+        compaction snapshots, so every post-OPTIMIZE batch would be
+        silently invisible downstream."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from aisle_spark.datasource import AisleStreamReader
+        from aisle_spark.streaming import _commit_batch
+
+        register(spark)
+        out = str(tmp_path / "pc")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(47, 1500)]))
+        for i in range(2):
+            df.filter(F.crc32(F.col("doc_id")) % 2 == i).repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        compact_encoded(spark, out, target_files=1)
+        # the next BATCH COMMIT adds a brand-new file (the real sink
+        # flow: addBatch writes the file, _commit_batch publishes it)
+        import shutil as _sh
+
+        src_f = next(
+            f for f in _manifest(out)["files"] if f.startswith("compact-")
+        )
+        newf = "part-postoptimize.parquet"
+        _sh.copy(os.path.join(out, src_f), os.path.join(out, newf))
+        _commit_batch(out, 0, [newf])
+        from aisle_spark.pipeline import _SNAP_DIR, list_snapshots
+
+        latest = list_snapshots(None, out)[-1]
+        snap = _json.load(
+            open(os.path.join(out, _SNAP_DIR, f"v{latest:08d}.json"))
+        )
+        assert "compacted_from" not in snap
+        assert "compacted_from" not in snap.get("extras", {})
+        # a stream over the table emits the post-OPTIMIZE batch's file
+        # (pre-fix: the snapshot was tagged as a compaction commit and
+        # _additions returned [] — permanent silent loss downstream)
+        r = AisleStreamReader(out)
+        emitted = [
+            p.path
+            for p in r.partitions({"version": latest - 1}, {"version": latest})
+        ]
+        assert any(newf in p for p in emitted)
+
+    def test_expire_keep_zero_never_bricks_pointer_table(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """expire_snapshots(keep_last=0) must not delete the snapshot the
+        pointer-form current manifest resolves through."""
+        import aisle_spark.pipeline as pl
+
+        from aisle_spark.maintenance import expire_snapshots
+
+        register(spark)
+        out = str(tmp_path / "ek")
+        df = spark.createDataFrame(pa.Table.from_batches([synth_batch(48, 900)]))
+        for i in range(3):
+            from pyspark.sql import functions as F
+
+            df.filter(F.crc32(F.col("doc_id")) % 3 == i).repartition(
+                1
+            ).write.format("aisle").mode("append").save(out)
+        monkeypatch.setattr(pl, "_MANIFEST_POINTER_MIN_FILES", 1)
+        compact_encoded(spark, out, target_files=2)
+        assert "pointer" in _manifest(out)
+        victims = expire_snapshots(out, keep_last=0)
+        # pointed-at snapshot survives; table stays readable
+        assert _manifest(out)["version"] not in victims
+        assert spark.read.format("aisle").load(out).count() == df.count()
+        vacuum_encoded(out, min_age_seconds=0)
+        assert spark.read.format("aisle").load(out).count() == df.count()

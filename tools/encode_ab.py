@@ -57,12 +57,28 @@ def _worker(repo_root: str, inp: str, out: str, cpus: int) -> None:
 
 
 def _ensure_ref_tree(ref: str) -> str:
-    if not os.path.exists(os.path.join(AB_TREE, "bench.py")):
-        shutil.rmtree(AB_TREE, ignore_errors=True)
+    want = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", ref],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if os.path.exists(os.path.join(AB_TREE, "bench.py")):
+        have = subprocess.run(
+            ["git", "-C", AB_TREE, "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        if have == want:
+            return AB_TREE
+        # stale worktree from an earlier --ref: silently benchmarking the
+        # wrong commit would produce a mislabeled perf verdict
         subprocess.run(
-            ["git", "-C", REPO, "worktree", "add", "--detach", AB_TREE, ref],
-            check=True,
+            ["git", "-C", REPO, "worktree", "remove", "--force", AB_TREE],
+            capture_output=True,
         )
+    shutil.rmtree(AB_TREE, ignore_errors=True)
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--detach", AB_TREE, want],
+        check=True,
+    )
     return AB_TREE
 
 
