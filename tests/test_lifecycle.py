@@ -130,3 +130,92 @@ def test_full_table_lifecycle(spark, env):
     e = truth.agg(F.min("amt").alias("mn"), F.max("amt").alias("mx")).collect()[0]
     assert (mm.mn, mm.mx) == (e.mn, e.mx)
     blocks.unpersist()
+
+
+def test_pointer_manifest_lifecycle(spark, env, monkeypatch):
+    """r5 interactions in one flow: pointer-form manifest + incremental
+    compaction + small-file partition packing + CLI aggregate + a stream
+    over it all — each step checked against the plain-DataFrame truth."""
+    import aisle_spark.pipeline as pl
+
+    from aisle_spark.cli import main as cli_main
+    from aisle_spark.datasource import planned_files, AisleReader
+    from aisle_spark.maintenance import (
+        compact_encoded,
+        expire_snapshots,
+        vacuum_encoded,
+    )
+
+    out = env
+    df = spark.range(6000).selectExpr(
+        "id",
+        "cast(id as int) AS n",
+        "concat('s', id % 5) AS src",
+        "cast(id % 89 + 0.25 as decimal(10,2)) AS amt",
+    )
+    # 1) six small appends (writer commits run in a Python worker with
+    # the default threshold, so the manifest stays full form here)
+    for q in range(6):
+        part = df.filter(f"id >= {q * 1000} AND id < {(q + 1) * 1000}")
+        part.repartition(1).write.format("aisle").option(
+            "sortCols", "src,n"
+        ).mode("append").save(out)
+    m = json.load(open(os.path.join(out, "_aisle_files.json")))
+    assert "files" in m and len(m["files"]) == 6
+
+    # 2) small files pack into combined partitions; results exact
+    parts = AisleReader(out).partitions()
+    assert len(planned_files(parts)) == 6 and len(parts) < 6
+    assert spark.read.format("aisle").load(out).count() == 6000
+    got = (
+        spark.read.format("aisle")
+        .option("where", "src = 's2' AND n < 3000")
+        .load(out)
+        .count()
+    )
+    assert got == df.filter("src = 's2' AND n < 3000").count()
+
+    # 3) incremental compaction through the CLI (public surface, runs
+    # IN-PROCESS where the patched threshold applies): everything is
+    # tiny, so min-file-mb=64 rewrites all six — and the commit flips
+    # the current manifest to POINTER form
+    monkeypatch.setattr(pl, "_MANIFEST_POINTER_MIN_FILES", 0)
+    cli_main([
+        "compact", "--table", out, "--target-files", "2",
+        "--min-file-mb", "64", "--order-by", "src",
+    ])
+    m = json.load(open(os.path.join(out, "_aisle_files.json")))
+    assert m == {"version": 7, "pointer": True}
+    assert spark.read.format("aisle").load(out).count() == 6000
+
+    # 4) CLI aggregate over the pointer-form compacted table
+    agg_out = os.path.join(BASE, "agg")
+    cli_main([
+        "aggregate", "--table", out, "--sum-by", "src:n",
+        "--where", "n >= 1000", "--output", agg_out,
+    ])
+    got_sums = {
+        r.src: r.total for r in spark.read.parquet(agg_out).collect()
+    }
+    exp_sums = {
+        r.src: r.s
+        for r in df.filter("n >= 1000")
+        .groupBy("src")
+        .agg(F.sum("n").alias("s"))
+        .collect()
+    }
+    assert got_sums == exp_sums
+
+    # 5) retention + vacuum keep the pointer chain intact
+    expire_snapshots(out, keep_last=1)
+    vacuum_encoded(out, min_age_seconds=0)
+    assert spark.read.format("aisle").load(out).count() == 6000
+    # scan_avg on the final state (exact sum/count division)
+    import math
+
+    from aisle_spark.pipeline import read_encoded, scan_avg
+
+    blocks, schema = read_encoded(spark, out)
+    a = scan_avg(blocks, schema, "n", where="src = 's1'").collect()[0].avg
+    rows = [r.n for r in df.filter("src = 's1'").select("n").collect()]
+    assert math.isclose(a, sum(rows) / len(rows), rel_tol=1e-9)
