@@ -157,6 +157,7 @@ def cmd_aggregate(args) -> None:
         scan_count,
         scan_count_by,
         scan_min_max,
+        scan_min_max_by,
         scan_sum,
         scan_sum_by,
     )
@@ -166,6 +167,11 @@ def cmd_aggregate(args) -> None:
     where = args.where or None
     if args.count_by:
         out = scan_count_by(blocks, schema, args.count_by, where=where)
+    elif args.min_max_by:
+        group, _, val = args.min_max_by.partition(":")
+        if not val:
+            raise SystemExit("--min-max-by takes GROUP_COL:VALUE_COL")
+        out = scan_min_max_by(blocks, schema, group, val, where=where)
     elif args.sum_by:
         group, _, val = args.sum_by.partition(":")
         if not val:
@@ -209,6 +215,70 @@ def cmd_compact(args) -> None:
         print(f"expired {len(expired)} snapshots, vacuumed {len(removed)} files")
     if owns:
         spark.stop()
+
+
+def cmd_describe(args) -> None:
+    """Table metadata from the manifest alone — no Spark session, no
+    payload I/O: file/row/byte totals, snapshot span, schema. The
+    kilobyte-read answer to "what is this 100 TB table" before any job
+    is submitted."""
+    import json as _json
+
+    from aisle_spark.datasource import _fs_of, _read_sidecar_schema
+    from aisle_spark.pipeline import list_snapshots, load_manifest
+
+    fs, root = _fs_of(args.table)
+    root = root.rstrip("/")
+    try:
+        m = load_manifest(fs, root)
+    except (FileNotFoundError, OSError):
+        # manifest-less layout (plain blocks.write.parquet): list files,
+        # no stats totals
+        from aisle_spark.pipeline import _fs_list
+
+        m = {
+            "files": [p for p, _sz in _fs_list(fs, root, ".parquet")],
+        }
+    stats = m.get("file_stats", {})
+    total_bytes = 0
+    rows = 0
+    rows_known = bool(stats)
+    for st in stats.values():
+        b = st.get("__bytes")
+        if isinstance(b, int):
+            total_bytes += b
+        ent = next(
+            (
+                v
+                for k, v in st.items()
+                if k != "__bytes" and isinstance(v, list) and len(v) >= 4
+            ),
+            None,
+        )
+        if ent is None or not isinstance(ent[3], int):
+            rows_known = False
+        else:
+            rows += ent[3]
+    versions = list_snapshots(fs, root)
+    schema = _read_sidecar_schema(fs, root)
+    print(
+        _json.dumps(
+            {
+                "files": len(m.get("files", [])),
+                "bytes": total_bytes,
+                "rows": rows if rows_known else None,
+                "version": m.get("version"),
+                "snapshots": (
+                    {"oldest": versions[0], "latest": versions[-1]}
+                    if versions
+                    else {}
+                ),
+                "streaming_batches": len(m.get("batches", {})),
+                "columns": [f"{f.name}: {f.type}" for f in schema],
+            },
+            indent=1,
+        )
+    )
 
 
 def cmd_vacuum(args) -> None:
@@ -303,6 +373,10 @@ def main(argv: list[str] | None = None) -> None:
     ag.add_argument(
         "--sum-by", dest="sum_by", default=None, metavar="GROUP_COL:SUM_COL"
     )
+    ag.add_argument(
+        "--min-max-by", dest="min_max_by", default=None,
+        metavar="GROUP_COL:VALUE_COL",
+    )
     a.add_argument("--output", default=None, help="parquet dir (else JSON stdout)")
     a.add_argument("--mode", default="overwrite")
     a.set_defaults(fn=cmd_aggregate)
@@ -324,6 +398,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--keep-snapshots", type=int, default=10,
                    help="with --vacuum: retain this many newest snapshots")
     c.set_defaults(fn=cmd_compact)
+
+    d = sub.add_parser(
+        "describe", help="table metadata from the manifest (no Spark)"
+    )
+    d.add_argument("--table", required=True)
+    d.set_defaults(fn=cmd_describe)
 
     v = sub.add_parser("vacuum", help="delete unreferenced data files")
     v.add_argument("--table", required=True)

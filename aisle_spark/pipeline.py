@@ -1638,6 +1638,84 @@ def scan_sum_by(
     )
 
 
+def scan_min_max_by(
+    blocks: DataFrame,
+    schema: pa.Schema,
+    group_col: str,
+    column: str,
+    where: "Spec | str | None" = None,
+    opts: "PruneOptions | None" = None,
+) -> DataFrame:
+    """``SELECT g, min(col), max(col) … GROUP BY g`` from block
+    statistics: a block SINGLE-VALUED in the group column (min == max,
+    zero nulls) or ALL-NULL in it contributes its exact per-block
+    ``__min``/``__max`` without decoding when the WHERE evidence proves
+    every row matches; other kept blocks decode. Value kinds restricted
+    to exact-stat domains like :func:`scan_min_max`.
+
+    Returns a DataFrame ``(group_col, mn, mx)``."""
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+    from aisle_spark.schema import specs_for_schema
+
+    opts = opts or DEFAULT_OPTIONS
+    specs = specs_for_schema(schema)
+    gspec = next((s for s in specs if s.name == group_col), None)
+    if gspec is None:
+        raise KeyError(f"unknown column {group_col}")
+    if gspec.kind in ("intlist", "floatlist", "map") or "." in group_col:
+        raise TypeError(
+            f"scan_min_max_by needs a top-level scalar group column, got "
+            f"{group_col!r} ({gspec.kind})"
+        )
+    vspec = next((s for s in specs if s.name == column), None)
+    if vspec is None:
+        raise KeyError(f"unknown column {column}")
+    if vspec.kind not in _MINMAX_EXACT_KINDS:
+        raise TypeError(
+            f"scan_min_max_by needs exact stats; kind {vspec.kind!r} of "
+            f"{column!r} stores bounds (use scan + agg instead)"
+        )
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    gmin = F.col(f"`{group_col}__min`")
+    gmax = F.col(f"`{group_col}__max`")
+    gnulls = F.col(f"`{group_col}__nulls`")
+    vmin, vmax = F.col(f"`{column}__min`"), F.col(f"`{column}__max`")
+    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
+    keep_mask = where.keep(opts) if where is not None else F.lit(True)
+    single = (
+        gmin.isNotNull() & gmax.isNotNull() & (gmin == gmax)
+        & (F.coalesce(gnulls, F.lit(-1)) == 0)
+    )
+    g_all_null = F.coalesce(gnulls, F.lit(-1)) == F.col("n_rows")
+    sure_mask = where_sure & (single | g_all_null)
+    sure = (
+        blocks.filter(sure_mask)
+        .groupBy(F.when(gnulls == 0, gmin).alias(group_col))
+        .agg(F.min(vmin).alias("mn"), F.max(vmax).alias("mx"))
+    )
+    boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
+    if boundary_blocks.isEmpty():
+        return sure
+    proj = sorted(
+        {group_col, column.split(".")[0]}
+        | ({c.split(".")[0] for c in where.columns()} if where else set())
+    )
+    vcol = F.col(column) if "." in column else F.col(f"`{column}`")
+    boundary = (
+        scan(boundary_blocks, schema, where=where, columns=proj)
+        .groupBy(F.col(f"`{group_col}`"))
+        .agg(F.min(vcol).alias("mn"), F.max(vcol).alias("mx"))
+    )
+    return (
+        sure.unionAll(boundary)
+        .groupBy(F.col(f"`{group_col}`"))
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+    )
+
+
 _MINMAX_EXACT_KINDS = ("int", "timestamp", "duration", "decimal", "float")
 
 

@@ -25,7 +25,7 @@ def encoded(spark, tmp_path_factory):
     df = spark.createDataFrame(pa.Table.from_batches([synth_batch(13, 4000)]))
     df.write.mode("overwrite").parquet(src)
     main([
-        "encode", "--input", src, "--output", out,
+        "encode", "--input", src, "--output", out, "--direct",
         "--parts", "2", "--sort", "source,n_tok",
     ])
     return df, out, base
@@ -97,3 +97,34 @@ class TestAggregateSubcommand:
         _df, out, _base = encoded
         with pytest.raises(SystemExit):
             main(["aggregate", "--table", out, "--sum-by", "nocolon"])
+
+
+class TestDescribeAndMinMaxBy:
+    def test_describe_reads_manifest_only(self, spark, encoded, capsys):
+        df, out, _base = encoded
+        main(["describe", "--table", out])
+        got = json.loads(capsys.readouterr().out)
+        assert got["rows"] == df.count()
+        assert got["files"] >= 1 and got["bytes"] > 0
+        assert got["version"] >= 1
+        assert any(c.startswith("doc_id") for c in got["columns"])
+
+    def test_min_max_by(self, spark, encoded):
+        df, out, base = encoded
+        dst = str(base / "mmb")
+        main([
+            "aggregate", "--table", out, "--min-max-by", "source:n_tok",
+            "--where", "n_tok > 100", "--output", dst,
+        ])
+        got = {
+            r.source: (r.mn, r.mx)
+            for r in spark.read.parquet(dst).collect()
+        }
+        exp = {
+            r.source: (r.mn, r.mx)
+            for r in df.filter("n_tok > 100")
+            .groupBy("source")
+            .agg(F.min("n_tok").alias("mn"), F.max("n_tok").alias("mx"))
+            .collect()
+        }
+        assert got == exp

@@ -516,3 +516,50 @@ class TestScanAvg:
         got = scan_avg(legacy, schema, "n_tok").collect()[0].avg
         exp = df.agg(F.avg("n_tok")).collect()[0][0]
         assert math.isclose(got, float(exp), rel_tol=1e-8)
+
+
+class TestScanMinMaxBy:
+    def test_group_min_max_matches(self, spark, table):
+        from aisle_spark.pipeline import scan_min_max_by
+
+        df, blocks, schema = table
+        for sql in (None, "n_tok > 200"):
+            got = {
+                r.source: (r.mn, r.mx)
+                for r in scan_min_max_by(
+                    blocks, schema, "source", "n_tok", where=sql
+                ).collect()
+            }
+            base = df.filter(sql) if sql else df
+            exp = {
+                r.source: (r.mn, r.mx)
+                for r in base.groupBy("source")
+                .agg(F.min("n_tok").alias("mn"), F.max("n_tok").alias("mx"))
+                .collect()
+            }
+            assert got == exp, sql
+
+    def test_null_groups_and_rejections(self, spark):
+        from aisle_spark.pipeline import scan_min_max_by
+
+        df = spark.range(2000).selectExpr(
+            "id",
+            "CASE WHEN id % 6 = 0 THEN NULL ELSE concat('g', id % 2) END AS g",
+            "cast(id as int) AS v",
+        )
+        blocks = encode_table(df, parts=2, block_rows=256, sort_cols=["g"])
+        schema = arrow_schema_of(df)
+        got = {
+            r.g: (r.mn, r.mx)
+            for r in scan_min_max_by(blocks, schema, "g", "v").collect()
+        }
+        exp = {
+            r.g: (r.mn, r.mx)
+            for r in df.groupBy("g")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()
+        }
+        assert got == exp  # includes the NULL group
+        with pytest.raises(TypeError, match="bounds"):
+            # string value column: truncation bounds, not values
+            scan_min_max_by(blocks, schema, "g", "g")
