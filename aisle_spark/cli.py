@@ -242,8 +242,13 @@ def cmd_describe(args) -> None:
     stats = m.get("file_stats", {})
     total_bytes = 0
     rows = 0
-    rows_known = bool(stats)
-    for st in stats.values():
+    files = m.get("files", [])
+    # totals iterate the FILE LIST, not the stats dict: a file missing
+    # its stats entry (pre-stats writer era) must flip the row total to
+    # unknown, never silently under-report (code-review r5)
+    rows_known = bool(files)
+    for f in files:
+        st = stats.get(f) or {}
         b = st.get("__bytes")
         if isinstance(b, int):
             total_bytes += b

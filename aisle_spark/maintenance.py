@@ -408,8 +408,11 @@ def expire_snapshots(path: str, keep_last: int = 10) -> list[int]:
         victims = versions[:-keep_last] if keep_last > 0 else list(versions)
         try:
             cur = _fs_read_json(fs, f"{root}/{_MANIFEST}")
-        except (FileNotFoundError, OSError):
-            cur = {}
+        except FileNotFoundError:
+            cur = {}  # no manifest yet => nothing pointed at
+        # any OTHER read failure propagates: proceeding without the
+        # pointer check could delete the snapshot the current manifest
+        # resolves through (code-review r5)
         if "files" not in cur and cur.get("version") is not None:
             # pointer-form current manifest: deleting the pointed-at
             # snapshot would brick the table (every load_manifest read

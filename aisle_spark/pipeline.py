@@ -1430,6 +1430,51 @@ def scan_avg(
     )
 
 
+def _group_evidence(
+    schema: pa.Schema, group_col: str, where, opts, op_name: str
+):
+    """Shared scaffolding of the GROUP-BY statistics aggregates
+    (scan_count_by / scan_sum_by / scan_min_max_by): validate the group
+    column, parse a SQL ``where``, and build the group-evidence masks.
+    Returns ``(where, opts, where_sure, keep_mask, group_sure,
+    group_key)`` — ``group_sure`` marks blocks whose group value is
+    provably constant (min == max with zero nulls; exact even for
+    strings, a truncated bound pair can never be equal) or all-NULL;
+    ``group_key`` is the aggregation key expression (NULL for all-null
+    blocks). One definition so an evidence fix can never diverge across
+    the three aggregates."""
+    from aisle_spark.filterspec import DEFAULT_OPTIONS
+    from aisle_spark.schema import specs_for_schema
+
+    opts = opts or DEFAULT_OPTIONS
+    gspec = next(
+        (s for s in specs_for_schema(schema) if s.name == group_col), None
+    )
+    if gspec is None:
+        raise KeyError(f"unknown column {group_col}")
+    if gspec.kind in ("intlist", "floatlist", "map") or "." in group_col:
+        raise TypeError(
+            f"{op_name} needs a top-level scalar group column, got "
+            f"{group_col!r} ({gspec.kind})"
+        )
+    if isinstance(where, str):
+        from aisle_spark.sqlcompile import parse_where
+
+        where = parse_where(where)
+    gmin = F.col(f"`{group_col}__min`")
+    gmax = F.col(f"`{group_col}__max`")
+    gnulls = F.col(f"`{group_col}__nulls`")
+    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
+    keep_mask = where.keep(opts) if where is not None else F.lit(True)
+    single = (
+        gmin.isNotNull() & gmax.isNotNull() & (gmin == gmax)
+        & (F.coalesce(gnulls, F.lit(-1)) == 0)
+    )
+    g_all_null = F.coalesce(gnulls, F.lit(-1)) == F.col("n_rows")
+    group_key = F.when(gnulls == 0, gmin).alias(group_col)
+    return where, opts, where_sure, keep_mask, single | g_all_null, group_key
+
+
 def scan_count_by(
     blocks: DataFrame,
     schema: pa.Schema,
@@ -1449,39 +1494,14 @@ def scan_count_by(
 
     Returns a DataFrame ``(group_col, cnt)``; restricted to top-level
     scalar group columns."""
-    from aisle_spark.filterspec import DEFAULT_OPTIONS
-    from aisle_spark.schema import specs_for_schema
-
-    opts = opts or DEFAULT_OPTIONS
-    spec_ = next(
-        (s for s in specs_for_schema(schema) if s.name == group_col), None
+    where, opts, where_sure, keep_mask, group_sure, group_key = (
+        _group_evidence(schema, group_col, where, opts, "scan_count_by")
     )
-    if spec_ is None:
-        raise KeyError(f"unknown column {group_col}")
-    if spec_.kind in ("intlist", "floatlist", "map") or "." in group_col:
-        raise TypeError(
-            f"scan_count_by needs a top-level scalar group column, got "
-            f"{group_col!r} ({spec_.kind})"
-        )
-    if isinstance(where, str):
-        from aisle_spark.sqlcompile import parse_where
-
-        where = parse_where(where)
-    gmin = F.col(f"`{group_col}__min`")
-    gmax = F.col(f"`{group_col}__max`")
-    gnulls = F.col(f"`{group_col}__nulls`")
     n_rows = F.col("n_rows").cast("long")
-    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
-    keep_mask = where.keep(opts) if where is not None else F.lit(True)
-    single = (
-        gmin.isNotNull() & gmax.isNotNull() & (gmin == gmax)
-        & (F.coalesce(gnulls, F.lit(-1)) == 0)
-    )
-    all_null = F.coalesce(gnulls, F.lit(-1)) == F.col("n_rows")
-    sure_mask = where_sure & (single | all_null)
+    sure_mask = where_sure & group_sure
     sure = (
         blocks.filter(sure_mask)
-        .groupBy(F.when(gnulls == 0, gmin).alias(group_col))
+        .groupBy(group_key)
         .agg(F.sum(n_rows).cast("long").alias("cnt"))
     )
     boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
@@ -1525,20 +1545,14 @@ def scan_sum_by(
     columns, decimal(38, s) for decimal(p, s)."""
     import pyarrow as _pa
 
-    from aisle_spark.filterspec import DEFAULT_OPTIONS
     from aisle_spark.schema import specs_for_schema
 
-    opts = opts or DEFAULT_OPTIONS
-    specs = specs_for_schema(schema)
-    gspec = next((s for s in specs if s.name == group_col), None)
-    if gspec is None:
-        raise KeyError(f"unknown column {group_col}")
-    if gspec.kind in ("intlist", "floatlist", "map") or "." in group_col:
-        raise TypeError(
-            f"scan_sum_by needs a top-level scalar group column, got "
-            f"{group_col!r} ({gspec.kind})"
-        )
-    sspec = next((s for s in specs if s.name == sum_col), None)
+    where, opts, where_sure, keep_mask, group_sure, group_key = (
+        _group_evidence(schema, group_col, where, opts, "scan_sum_by")
+    )
+    sspec = next(
+        (s for s in specs_for_schema(schema) if s.name == sum_col), None
+    )
     if sspec is None:
         raise KeyError(f"unknown column {sum_col}")
     is_decimal = sspec.kind == "decimal"
@@ -1554,17 +1568,8 @@ def scan_sum_by(
             f"scan_sum_by supports integer and decimal sum columns; "
             f"{sum_col!r} is {sspec.kind}"
         )
-    if isinstance(where, str):
-        from aisle_spark.sqlcompile import parse_where
-
-        where = parse_where(where)
-    gmin = F.col(f"`{group_col}__min`")
-    gmax = F.col(f"`{group_col}__max`")
-    gnulls = F.col(f"`{group_col}__nulls`")
     sum_name = f"{sum_col}__sum"
     has_sums = sum_name in blocks.columns
-    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
-    keep_mask = where.keep(opts) if where is not None else F.lit(True)
     scale = sspec.arrow_type.scale if is_decimal else 0
 
     def finish(total: Column) -> Column:
@@ -1575,15 +1580,8 @@ def scan_sum_by(
         ).alias("total")
 
     if has_sums:
-        single = (
-            gmin.isNotNull() & gmax.isNotNull() & (gmin == gmax)
-            & (F.coalesce(gnulls, F.lit(-1)) == 0)
-        )
-        g_all_null = F.coalesce(gnulls, F.lit(-1)) == F.col("n_rows")
         sure_mask = (
-            where_sure
-            & (single | g_all_null)
-            & F.col(f"`{sum_name}`").isNotNull()
+            where_sure & group_sure & F.col(f"`{sum_name}`").isNotNull()
         )
         # an all-null sum block records __sum = 0; map it back to NULL so
         # a group whose every value is NULL totals NULL like SQL
@@ -1598,7 +1596,7 @@ def scan_sum_by(
         )
         sure = (
             blocks.filter(sure_mask)
-            .groupBy(F.when(gnulls == 0, gmin).alias(group_col))
+            .groupBy(group_key)
             .agg(F.sum(contrib).alias("t"))
         )
         boundary_blocks = blocks.filter(keep_mask & ~sure_mask)
@@ -1611,7 +1609,7 @@ def scan_sum_by(
             # column shares it) — a hardcoded string schema would break
             # unions with non-empty results (code-review r5 finding)
             out = blocks.limit(0).select(
-                gmin.alias(group_col),
+                F.col(f"`{group_col}__min`").alias(group_col),
                 F.lit(None).cast("decimal(38,0)").alias("t"),
             )
             return out.select(F.col(f"`{group_col}`"), finish(F.col("t")))
@@ -1654,20 +1652,14 @@ def scan_min_max_by(
     to exact-stat domains like :func:`scan_min_max`.
 
     Returns a DataFrame ``(group_col, mn, mx)``."""
-    from aisle_spark.filterspec import DEFAULT_OPTIONS
     from aisle_spark.schema import specs_for_schema
 
-    opts = opts or DEFAULT_OPTIONS
-    specs = specs_for_schema(schema)
-    gspec = next((s for s in specs if s.name == group_col), None)
-    if gspec is None:
-        raise KeyError(f"unknown column {group_col}")
-    if gspec.kind in ("intlist", "floatlist", "map") or "." in group_col:
-        raise TypeError(
-            f"scan_min_max_by needs a top-level scalar group column, got "
-            f"{group_col!r} ({gspec.kind})"
-        )
-    vspec = next((s for s in specs if s.name == column), None)
+    where, opts, where_sure, keep_mask, group_sure, group_key = (
+        _group_evidence(schema, group_col, where, opts, "scan_min_max_by")
+    )
+    vspec = next(
+        (s for s in specs_for_schema(schema) if s.name == column), None
+    )
     if vspec is None:
         raise KeyError(f"unknown column {column}")
     if vspec.kind not in _MINMAX_EXACT_KINDS:
@@ -1675,25 +1667,11 @@ def scan_min_max_by(
             f"scan_min_max_by needs exact stats; kind {vspec.kind!r} of "
             f"{column!r} stores bounds (use scan + agg instead)"
         )
-    if isinstance(where, str):
-        from aisle_spark.sqlcompile import parse_where
-
-        where = parse_where(where)
-    gmin = F.col(f"`{group_col}__min`")
-    gmax = F.col(f"`{group_col}__max`")
-    gnulls = F.col(f"`{group_col}__nulls`")
     vmin, vmax = F.col(f"`{column}__min`"), F.col(f"`{column}__max`")
-    where_sure = (~where.not_true(opts)) if where is not None else F.lit(True)
-    keep_mask = where.keep(opts) if where is not None else F.lit(True)
-    single = (
-        gmin.isNotNull() & gmax.isNotNull() & (gmin == gmax)
-        & (F.coalesce(gnulls, F.lit(-1)) == 0)
-    )
-    g_all_null = F.coalesce(gnulls, F.lit(-1)) == F.col("n_rows")
-    sure_mask = where_sure & (single | g_all_null)
+    sure_mask = where_sure & group_sure
     sure = (
         blocks.filter(sure_mask)
-        .groupBy(F.when(gnulls == 0, gmin).alias(group_col))
+        .groupBy(group_key)
         .agg(F.min(vmin).alias("mn"), F.max(vmax).alias("mx"))
     )
     boundary_blocks = blocks.filter(keep_mask & ~sure_mask)

@@ -75,6 +75,9 @@ def _ensure_ref_tree(ref: str) -> str:
             capture_output=True,
         )
     shutil.rmtree(AB_TREE, ignore_errors=True)
+    # drop any stale registration (directory-deleted-but-registered
+    # worktrees make the following add fail fatally)
+    subprocess.run(["git", "-C", REPO, "worktree", "prune"], capture_output=True)
     subprocess.run(
         ["git", "-C", REPO, "worktree", "add", "--detach", AB_TREE, want],
         check=True,
