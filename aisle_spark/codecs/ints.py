@@ -251,15 +251,136 @@ CHUNKED_MIN = 2 * CHUNK_VALUES
 
 
 def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
+    """Mini-block cascade with ONE vectorized stats pass over all chunks:
+    per-chunk min/max/n_runs and the sampled-cardinality screen are
+    computed with reduceat / one axis-sort over the whole block instead
+    of ~n/4096 separate ``int_stats`` calls (each of which paid its own
+    dtype conversion, strided-sample sort and numpy call overhead — the
+    encode profile's top hotspot). Byte output is identical: the same
+    stats feed the same ``choose_int_codec`` and the same codec bodies."""
     n = u.size
-    chunks = []
-    arr = _from_u64(u, dtype)
-    for lo in range(0, n, CHUNK_VALUES):
-        c = arr[lo : lo + CHUNK_VALUES]
-        st = int_stats(c, exact_distinct=False)
-        chunks.append(
-            encode_ints(c, choose_int_codec(st, dtype.itemsize), _uniq=st.get("uniq"))
-        )
+    m = CHUNK_VALUES
+    itemsize = dtype.itemsize
+    s = u.view(np.int64)
+    n_full = n // m
+    nc = (n + m - 1) // m
+    starts = np.arange(0, n, m, dtype=np.int64)
+    # exact per-chunk min/max (int64 domain — same ordering int_stats uses)
+    cmin = np.minimum.reduceat(s, starts)
+    cmax = np.maximum.reduceat(s, starts)
+    # per-chunk run count: changes strictly inside each chunk + 1
+    d = u[1:] != u[:-1]
+    if nc > 1:
+        runs = np.add.reduceat(d.astype(np.int64), starts)
+        # reduceat windows [start, next_start) include the cross-chunk
+        # boundary change d[next_start-1] — exclude it (int_stats counts
+        # changes within the chunk only)
+        runs[:-1] -= d[starts[1:] - 1]
+        n_runs = runs + 1
+    else:
+        n_runs = np.array([1 + int(np.count_nonzero(d))], dtype=np.int64)
+    # sampled-cardinality screen for FULL chunks (same grid int_stats
+    # uses: stride n_chunk//512 from the chunk start). Full chunks all
+    # share stride m//512, so one axis-sort covers them all.
+    stride = max(1, m // 512)
+    if n_full:
+        samp = np.sort(u[: n_full * m].reshape(n_full, m)[:, ::stride], axis=1)
+        ks = 1 + np.count_nonzero(samp[:, 1:] != samp[:, :-1], axis=1)
+        dict_viable = ks <= (samp.shape[1] // 4)
+    else:
+        dict_viable = np.zeros(0, dtype=bool)
+
+    dcode = _DTYPE_CODE[dtype]
+    chunks: list[bytes | None] = [None] * nc
+    # FOR/bitpack chunks whose row count is 8-aligned batch into ONE
+    # bitpack_encode per distinct width (8-value pack groups align with
+    # chunk boundaries, so the concatenated pack is byte-identical to
+    # per-chunk packs) — collapses ~n/4096 small packs into a handful of
+    # large ones, which is where the per-call numpy overhead was going
+    batch: list[tuple[int, int, bytes, object]] = []  # (ci, width, hdr, vals)
+    for ci in range(nc):
+        lo = ci * m
+        cn = min(m, n - lo)
+        cu = u[lo : lo + cn]
+        uniq = None
+        if cn == m:
+            if dict_viable[ci]:
+                uniq = np.unique(cu)
+                distinct = int(uniq.size)
+            else:
+                distinct = cn
+        elif cn > 1024:
+            sample = np.sort(cu[:: max(1, cn // 512)])
+            k = 1 + int(np.count_nonzero(sample[1:] != sample[:-1]))
+            if k > sample.size // 4:
+                distinct = cn
+            else:
+                uniq = np.unique(cu)
+                distinct = int(uniq.size)
+        else:
+            uniq = np.unique(cu)
+            distinct = int(uniq.size)
+        lo_v, hi_v = int(cmin[ci]), int(cmax[ci])
+        st = {
+            "n": cn,
+            "min": lo_v,
+            "max": hi_v,
+            "n_runs": int(n_runs[ci]),
+            "distinct": distinct,
+        }
+        codec = choose_int_codec(st, itemsize)
+        if codec == "dict" and uniq is not None and cn % 8 == 0:
+            # dict body = header + FOR(uniq) + bitpack(codes, cw); the
+            # codes pack (the bulk) joins the width-batched pass
+            cw = _width(uniq.size - 1) if uniq.size > 1 else 0
+            uniq_body = _body_for(uniq)
+            body_len = 9 + len(uniq_body) + packed_nbytes(cn, cw)
+            if body_len > cn * itemsize:
+                chunks[ci] = _HDR.pack(PLAIN, dcode, cn) + _body_plain(cu, dtype)
+            else:
+                hdr = (
+                    _HDR.pack(DICT, dcode, cn)
+                    + struct.pack("<IIB", uniq.size, len(uniq_body), cw)
+                    + uniq_body
+                )
+                codes = np.searchsorted(uniq, cu).astype(np.uint64)
+                batch.append((ci, cw, hdr, codes))
+            continue
+        if codec in ("for", "bitpack") and cn % 8 == 0:
+            if codec == "bitpack":  # choose proposes it only when min >= 0
+                w = _width(hi_v)
+                body_len = 1 + packed_nbytes(cn, w)
+                hdr = _HDR.pack(BITPACK, dcode, cn) + struct.pack("<B", w)
+                vals = cu
+            else:
+                w = _width(hi_v - lo_v)
+                body_len = 9 + packed_nbytes(cn, w)
+                hdr = _HDR.pack(FOR_BITPACK, dcode, cn) + struct.pack(
+                    "<qB", lo_v, w
+                )
+                vals = cu - np.int64(lo_v).view(np.uint64).astype(np.uint64)
+            if body_len > cn * itemsize:  # the plain fallback, decided early
+                chunks[ci] = _HDR.pack(PLAIN, dcode, cn) + _body_plain(cu, dtype)
+            else:
+                batch.append((ci, w, hdr, vals))
+        else:
+            chunks[ci] = _encode_ints_u64(cu, dtype, codec, uniq)
+    if batch:
+        by_w: dict[int, list[tuple[int, bytes, object]]] = {}
+        for ci, w, hdr, vals in batch:
+            by_w.setdefault(w, []).append((ci, hdr, vals))
+        for w, items in by_w.items():
+            packed = bitpack_encode(
+                items[0][2]
+                if len(items) == 1
+                else np.concatenate([vals for _, _, vals in items]),
+                w,
+            )
+            off = 0
+            for ci, hdr, vals in items:
+                nb = packed_nbytes(vals.size, w)
+                chunks[ci] = hdr + packed[off : off + nb]
+                off += nb
     lens = np.fromiter((len(c) for c in chunks), dtype=np.uint32, count=len(chunks))
     return (
         struct.pack("<II", len(chunks), CHUNK_VALUES)
@@ -354,6 +475,35 @@ def choose_int_codec(stats: dict, itemsize: int) -> str:
     return min(est, key=est.get)
 
 
+def _encode_ints_u64(
+    u: np.ndarray, dtype: np.dtype, codec: str, uniq: np.ndarray | None = None
+) -> bytes:
+    """Encode an already-u64-domain array with a known codec — the
+    chunk-cascade inner loop (skips re-stats and re-conversion)."""
+    cid = INT_CODEC_IDS[codec]
+    if cid == PLAIN:
+        body = _body_plain(u, dtype)
+    elif cid == BITPACK:
+        if u.size and int(u.view(np.int64).min()) < 0:
+            cid, body = FOR_BITPACK, _body_for(u)
+        else:
+            body = _body_bitpack(u)
+    elif cid == FOR_BITPACK:
+        body = _body_for(u)
+    elif cid == RLE:
+        body = _body_rle(u)
+    elif cid == DICT:
+        body = _body_dict(u, uniq)
+    else:  # pragma: no cover
+        raise ValueError(codec)
+    out = _HDR.pack(cid, _DTYPE_CODE[dtype], u.size) + body
+    # plain fallback if the "clever" codec lost (guards incompressible
+    # data) — materialized lazily, only when it would actually be smaller
+    if cid != PLAIN and len(out) > _HDR.size + u.size * dtype.itemsize:
+        return _HDR.pack(PLAIN, _DTYPE_CODE[dtype], u.size) + _body_plain(u, dtype)
+    return out
+
+
 def encode_ints(
     arr: np.ndarray, codec: str | None = None, _uniq: np.ndarray | None = None
 ) -> bytes:
@@ -369,30 +519,16 @@ def encode_ints(
             codec = "chunked"
         else:
             codec = choose_int_codec(int_stats(arr), dtype.itemsize)
-    cid = INT_CODEC_IDS[codec]
-    if cid == CHUNKED:
-        body = _body_chunked(u, dtype)
-    elif cid == PLAIN:
-        body = _body_plain(u, dtype)
-    elif cid == BITPACK:
-        if arr.size and int(u.view(np.int64).min()) < 0:
-            cid, body = FOR_BITPACK, _body_for(u)
-        else:
-            body = _body_bitpack(u)
-    elif cid == FOR_BITPACK:
-        body = _body_for(u)
-    elif cid == RLE:
-        body = _body_rle(u)
-    elif cid == DICT:
-        body = _body_dict(u, _uniq)
-    else:  # pragma: no cover
-        raise ValueError(codec)
-    out = _HDR.pack(cid, _DTYPE_CODE[dtype], arr.size) + body
-    # plain fallback if the "clever" codec lost (guards incompressible
-    # data) — materialized lazily, only when it would actually be smaller
-    if cid != PLAIN and len(out) > _HDR.size + arr.size * dtype.itemsize:
-        return _HDR.pack(PLAIN, _DTYPE_CODE[dtype], arr.size) + _body_plain(u, dtype)
-    return out
+    if INT_CODEC_IDS[codec] == CHUNKED:
+        out = _HDR.pack(CHUNKED, _DTYPE_CODE[dtype], arr.size) + _body_chunked(
+            u, dtype
+        )
+        if len(out) > _HDR.size + arr.size * dtype.itemsize:
+            return _HDR.pack(PLAIN, _DTYPE_CODE[dtype], arr.size) + _body_plain(
+                u, dtype
+            )
+        return out
+    return _encode_ints_u64(u, dtype, codec, _uniq)
 
 
 def decode_ints(buf: bytes | memoryview) -> np.ndarray:
