@@ -271,12 +271,21 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
     # per-chunk run count: changes strictly inside each chunk + 1
     d = u[1:] != u[:-1]
     if nc > 1:
-        runs = np.add.reduceat(d.astype(np.int64), starts)
-        # reduceat windows [start, next_start) include the cross-chunk
-        # boundary change d[next_start-1] — exclude it (int_stats counts
-        # changes within the chunk only)
-        runs[:-1] -= d[starts[1:] - 1]
-        n_runs = runs + 1
+        d64 = d.astype(np.int64)
+        if starts[-1] >= d.size:
+            # the last chunk holds a single value: its start index n-1
+            # is past d (len n-1) — reduceat over the rest, append runs=1
+            runs = np.add.reduceat(d64, starts[:-1])
+            runs[:-1] -= d[starts[1:-1] - 1]
+            runs[-1] -= d[starts[-1] - 1]
+            n_runs = np.concatenate((runs + 1, [1]))
+        else:
+            runs = np.add.reduceat(d64, starts)
+            # reduceat windows [start, next_start) include the cross-chunk
+            # boundary change d[next_start-1] — exclude it (int_stats
+            # counts changes within the chunk only)
+            runs[:-1] -= d[starts[1:] - 1]
+            n_runs = runs + 1
     else:
         n_runs = np.array([1 + int(np.count_nonzero(d))], dtype=np.int64)
     # sampled-cardinality screen for FULL chunks (same grid int_stats

@@ -147,3 +147,30 @@ def test_float_roundtrip(name):
 def test_float_dict_compresses():
     buf = encode_floats(FLOAT_CASES["low_card"])
     assert len(buf) < FLOAT_CASES["low_card"].nbytes / 4
+
+
+def test_chunked_boundary_sizes():
+    """Chunk-cascade edge sizes: last chunk of exactly 1 value (n % 4096
+    == 1 — the add.reduceat out-of-bounds regression), 8-unaligned tails,
+    and exact multiples, across value regimes that hit every chunk codec."""
+    from aisle_spark.codecs.ints import CHUNK_VALUES, CHUNKED_MIN
+
+    rng = np.random.default_rng(7)
+    for n in (
+        CHUNKED_MIN,
+        CHUNKED_MIN + 1,
+        3 * CHUNK_VALUES - 1,
+        3 * CHUNK_VALUES + 1,
+        3 * CHUNK_VALUES + 5,
+        4 * CHUNK_VALUES,
+    ):
+        for arr in (
+            rng.integers(0, 1 << 20, n).astype(np.int32),       # bitpack
+            (rng.integers(0, 16, n) - 8).astype(np.int64) * 3,  # FOR / dict
+            np.repeat(np.int32(5), n),                          # rle
+            rng.integers(-(1 << 62), 1 << 62, n).astype(np.int64),  # plain
+        ):
+            buf = encode_ints(arr)
+            out = decode_ints(buf)
+            assert out.dtype == arr.dtype
+            np.testing.assert_array_equal(out, arr)
