@@ -544,11 +544,15 @@ def _list_array(t: pa.DataType, n: int, valid, list_lens, vals) -> pa.Array:
 
 
 def row_token_widths(
-    specs: list[ColumnSpec], batch: pa.Table | pa.RecordBatch
+    specs: list[ColumnSpec], batch: pa.Table | pa.RecordBatch,
+    _flat: np.ndarray | None = None, _lens: np.ndarray | None = None
 ) -> np.ndarray | None:
     """Per-row bit width of the first int-list column's value range (the
     clustering key), or None when no int-list column / all null. Fully
-    vectorized (reduceat)."""
+    vectorized (reduceat). ``_flat``/``_lens``: flattened values and
+    null-filled per-row lengths a caller already extracted (the encode
+    ordering pass computes both anyway — sharing skips a second
+    combine/flatten over the whole token payload)."""
     list_specs = [s for s in specs if s.kind == "intlist"]
     if not list_specs or len(batch) < 2:
         return None
@@ -557,8 +561,12 @@ def row_token_widths(
         col = col.combine_chunks()
     if col.null_count == len(col):
         return None
-    flat = col.flatten().to_numpy(zero_copy_only=False)
-    lens = col.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False) if _flat is None else _flat
+    lens = (
+        col.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        if _lens is None
+        else _lens
+    )
     offs = np.concatenate(([0], np.cumsum(lens)))
     width = np.zeros(len(batch), dtype=np.int64)
     ne = lens > 0

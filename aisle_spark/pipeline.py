@@ -138,12 +138,20 @@ def _order_and_slice(
     else:
         idx = np.arange(n, dtype=np.int64)
     list_cols = [s.name for s in specs if s.kind in ("intlist", "floatlist")]
+    first_intlist = next((s.name for s in specs if s.kind == "intlist"), None)
     weight = np.zeros(n, dtype=np.int64)
+    flat0 = lens0 = None
     for c in list_cols:
-        col = tbl.column(c)
-        lens = col.combine_chunks().value_lengths().to_numpy(zero_copy_only=False)
-        weight += np.nan_to_num(lens, nan=0).astype(np.int64)
-    width = row_token_widths(specs, tbl)  # in ORIGINAL row order
+        col = tbl.column(c).combine_chunks()
+        lens = col.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        weight += lens
+        if c == first_intlist:
+            # share the flatten/lengths with the width-clustering pass —
+            # both scan the same token payload
+            flat0 = col.flatten().to_numpy(zero_copy_only=False)
+            lens0 = lens
+    width = row_token_widths(specs, tbl, _flat=flat0, _lens=lens0)  # ORIGINAL order
     cum = np.cumsum(weight[idx])
     bounds = [0]
     lo = 0
@@ -733,39 +741,46 @@ def encode_files_direct(
             )
             pending.clear()
 
+        import json as _json
+
         for b in batches:
-            for path in b.column(0).to_pylist():
-                inputs.append(os.path.basename(path))
-                ts = time.time()
-                tbl = flatten_table(
-                    pq.read_table(path, columns=names, filesystem=fs)
-                )
-                stages["read_sec"] += time.time() - ts
-                ts = time.time()
-                # single-gather ordering: sort + block bounds + width
-                # clustering resolved on indices, ONE take
-                blocks_list = _order_and_slice(
-                    tbl, specs, sort_keys, block_rows, max_values
-                )
-                stages["sort_sec"] += time.time() - ts
-                ts = time.time()
-                for block in blocks_list:
-                    first = {c: block.column(c)[0].as_py() for c in salt_cols_eff}
-                    key = "\x1f".join(str(first[c]) for c in salt_cols_eff).encode()
-                    pending.append(
-                        encode_block(
-                            specs,
-                            block,
-                            int(zlib.crc32(key) % parts),
-                            (task_id << 24) | seq,
-                        )
+            for blob in b.column(0).to_pylist():
+                for path in _json.loads(blob):
+                    inputs.append(os.path.basename(path))
+                    ts = time.time()
+                    tbl = flatten_table(
+                        pq.read_table(path, columns=names, filesystem=fs)
                     )
-                    seq += 1
-                    if len(pending) >= FLUSH_BLOCKS:
-                        stages["encode_sec"] += time.time() - ts
-                        flush()
-                        ts = time.time()
-                stages["encode_sec"] += time.time() - ts
+                    stages["read_sec"] += time.time() - ts
+                    ts = time.time()
+                    # single-gather ordering: sort + block bounds + width
+                    # clustering resolved on indices, ONE take
+                    blocks_list = _order_and_slice(
+                        tbl, specs, sort_keys, block_rows, max_values
+                    )
+                    stages["sort_sec"] += time.time() - ts
+                    ts = time.time()
+                    for block in blocks_list:
+                        first = {
+                            c: block.column(c)[0].as_py() for c in salt_cols_eff
+                        }
+                        key = "\x1f".join(
+                            str(first[c]) for c in salt_cols_eff
+                        ).encode()
+                        pending.append(
+                            encode_block(
+                                specs,
+                                block,
+                                int(zlib.crc32(key) % parts),
+                                (task_id << 24) | seq,
+                            )
+                        )
+                        seq += 1
+                        if len(pending) >= FLUSH_BLOCKS:
+                            stages["encode_sec"] += time.time() - ts
+                            flush()
+                            ts = time.time()
+                    stages["encode_sec"] += time.time() - ts
         flush()
         if writer is None:
             return
@@ -807,16 +822,41 @@ def encode_files_direct(
             ),
         )
 
-    # one file per partition, LARGEST FIRST: Spark hands partitions to
-    # free slots in order, so the big files start in the first wave and
-    # the small ones backfill the last — minimal straggler tail
+    # Task layout: ~4 waves of byte-balanced tasks, several input files
+    # per task when files outnumber that. One-file-per-task paid a fixed
+    # ~0.3 core-sec of task overhead (scheduling + Arrow handshake +
+    # writer/sidecar setup) per file — ~25% of the encode wall at
+    # files >> cores (guide §2.2 "fewer, larger map tasks"; §6 open
+    # cost). Greedy LPT over file sizes: largest first into the
+    # currently-lightest task keeps tasks byte-balanced, and tasks are
+    # emitted heaviest-first so the big ones start in the first wave and
+    # the light ones backfill the tail — the same minimal-straggler
+    # scheduling as before, one level up.
     size_of = dict(_fs_list(fs, input_path, ".parquet"))
     files_by_size = sorted(files, key=lambda f: -size_of.get(f, 0))
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    waves = int(_os.environ.get("AISLE_ENCODE_WAVES", "4"))
+    n_tasks = min(len(files_by_size), max(1, waves * cores))
+    group_files: list[list[str]] = [[] for _ in range(n_tasks)]
+    group_bytes = [0] * n_tasks
+    for f in files_by_size:
+        g = group_bytes.index(min(group_bytes))
+        group_files[g].append(f)
+        group_bytes[g] += size_of.get(f, 0) or 1
+    groups = [
+        g
+        for _b, g in sorted(
+            zip(group_bytes, group_files), key=lambda t: -t[0]
+        )
+        if g
+    ]
+    import json as _json
+
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(
-            [(f,) for f in files_by_size], len(files_by_size)
+            [(_json.dumps(g),) for g in groups], len(groups)
         ),
-        "path string",
+        "paths string",
     )
     fdf.mapInArrow(
         encode_and_write, "file string, n_blocks long, n_rows long"

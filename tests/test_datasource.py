@@ -1005,9 +1005,45 @@ class TestFileKeepDomains:
         doms = {"price": "decimal"}
         assert not file_keep(stats, col("price") > 11, doms)
         assert file_keep(stats, col("price") > 10, doms)
-        # float literal vs decimal domain: deliberately no evidence
+        # float literal vs SCALELESS decimal domain: no evidence
         # (double-cast boundary rounding could flip strict comparisons)
         assert file_keep(stats, col("price") > 11.0, doms)
+
+    def test_decimal_domain_exact_float_literals(self):
+        import decimal
+        import math
+
+        from aisle_spark.datasource import file_keep
+        from aisle_spark.filterspec import col
+
+        stats = {"price": ["9.50", "10.25"]}
+        doms = {"price": "decimal:2"}
+        # on-grid float literal (integer-valued, or binary-exact like
+        # .5/.25), ulp far below the 0.01 grid step: full evidence — the
+        # common "WHERE price >= 60000.00" money shape
+        assert not file_keep(stats, col("price") > 11.0, doms)
+        assert not file_keep(stats, col("price") > 10.25, doms)
+        assert file_keep(stats, col("price") >= 10.25, doms)
+        assert not file_keep(stats, col("price") < 9.50, doms)
+        assert file_keep(stats, col("price") <= 9.50, doms)
+        assert not file_keep(stats, col("price") == 60000.00, doms)
+        # off-grid literal (neither 0.1 nor 10.2 is exactly representable
+        # in binary, so Decimal(v) is off the 10^-2 grid): no evidence —
+        # Spark's double-domain comparison of the near-boundary grid
+        # value could disagree with the exact-Decimal one
+        assert file_keep(stats, col("price") < 0.10, doms)
+        assert file_keep(stats, col("price") > 10.20, doms)
+        # magnitude where the ulp exceeds the grid step: no evidence
+        big = float(2**60)
+        assert math.ulp(big) > 0.01  # the condition the guard must catch
+        assert file_keep(stats, col("price") > big, doms)
+        # non-finite: no evidence
+        assert file_keep(stats, col("price") > math.inf, doms)
+        # int and Decimal literals keep working against the scaled domain
+        assert not file_keep(stats, col("price") > 11, doms)
+        assert not file_keep(
+            stats, col("price") > decimal.Decimal("10.25"), doms
+        )
 
     def test_nan_bound_poisons_merge(self):
         import math
