@@ -78,6 +78,11 @@ def packed_nbytes(n: int, width: int) -> int:
 
 
 def bitpack_encode(u: np.ndarray, width: int) -> bytes:
+    """Pack unsigned values into ``width``-bit little-endian slots. The
+    lane dtype may be any unsigned type wide enough for ``width`` (the
+    chunk cascade feeds uint32 lanes for 4-byte sources — half the
+    memory traffic of the uint64 domain); the byte stream is identical
+    regardless of lane width."""
     n = u.size
     if width == 0 or n == 0:
         return b""
@@ -86,7 +91,7 @@ def bitpack_encode(u: np.ndarray, width: int) -> bytes:
     m = (n + 7) // 8
     pad = m * 8 - n
     if pad:
-        u = np.concatenate((u, np.zeros(pad, dtype=np.uint64)))
+        u = np.concatenate((u, np.zeros(pad, dtype=u.dtype)))
     V = u.reshape(m, 8)
     out = np.empty((m, width), dtype=np.uint8)
     for j in range(width):
@@ -96,10 +101,13 @@ def bitpack_encode(u: np.ndarray, width: int) -> bytes:
         acc = None
         for v in range(a, min(b, 7) + 1):
             vstart = v * width
+            # shifts stay within the lane dtype: left by <= 7 (bits past
+            # the lane drop — they belong to later bytes, which re-read
+            # them with their own right shift), right by < width
             part = (
-                V[:, v] << np.uint64(vstart - lo_bit)
+                V[:, v] << (vstart - lo_bit)
                 if vstart >= lo_bit
-                else V[:, v] >> np.uint64(lo_bit - vstart)
+                else V[:, v] >> (lo_bit - vstart)
             )
             acc = part if acc is None else acc | part
         out[:, j] = acc.astype(np.uint8)  # truncates to low byte
@@ -257,19 +265,64 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
     of ~n/4096 separate ``int_stats`` calls (each of which paid its own
     dtype conversion, strided-sample sort and numpy call overhead — the
     encode profile's top hotspot). Byte output is identical: the same
-    stats feed the same ``choose_int_codec`` and the same codec bodies."""
-    n = u.size
+    stats feed the same ``choose_int_codec`` and the same codec bodies.
+
+    Works in the NARROWEST sufficient domain: stats read the native
+    array; packing runs in uint32 lanes for sources of <= 4 bytes
+    (uint64 otherwise). Equivalence with the uint64 reference domain:
+    the two's-complement unsigned view at any width orders negatives
+    above all non-negatives and preserves order within each sign class,
+    wrap-around subtraction yields the same FOR deltas (every delta
+    fits the lane), and `bitpack_encode` emits the identical stream
+    from any lane width — so every emitted byte matches, for half the
+    memory traffic on int32 token payloads."""
+    arr = u
+    dtype = arr.dtype
+    n = arr.size
     m = CHUNK_VALUES
     itemsize = dtype.itemsize
-    s = u.view(np.int64)
+    signed = dtype.kind == "i"
+    if itemsize <= 4:
+        work_u = np.dtype(np.uint32)
+        if itemsize == 4:
+            wu = arr.view(work_u) if signed else arr
+        elif signed:
+            wu = arr.astype(np.int32, copy=False).view(work_u)
+        else:
+            wu = arr.astype(work_u, copy=False)
+
+        def _widen(w: np.ndarray) -> np.ndarray:
+            # work-lane values -> the u64 reference domain (sign-extend
+            # signed bit patterns; unsigned values pass through)
+            return _to_u64(w.view(np.int32)) if signed else _to_u64(w)
+
+        def _base_w(v: int):
+            return (
+                np.array(v, dtype=np.int32).view(work_u)
+                if signed
+                else np.array(v, dtype=work_u)
+            )
+
+    else:
+        work_u = np.dtype(np.uint64)
+        wu = _to_u64(arr)
+
+        def _widen(w: np.ndarray) -> np.ndarray:
+            return w
+
+        def _base_w(v: int):
+            return np.array(v, dtype=np.int64).view(work_u)
     n_full = n // m
     nc = (n + m - 1) // m
     starts = np.arange(0, n, m, dtype=np.int64)
-    # exact per-chunk min/max (int64 domain — same ordering int_stats uses)
-    cmin = np.minimum.reduceat(s, starts)
-    cmax = np.maximum.reduceat(s, starts)
+    # per-chunk min/max in the domain int_stats used: native values for
+    # every dtype except uint64, whose reference domain is the WRAPPED
+    # int64 view (the module's unsigned-wraparound convention)
+    stat_src = arr if (signed or itemsize <= 4) else wu.view(np.int64)
+    cmin = np.minimum.reduceat(stat_src, starts)
+    cmax = np.maximum.reduceat(stat_src, starts)
     # per-chunk run count: changes strictly inside each chunk + 1
-    d = u[1:] != u[:-1]
+    d = arr[1:] != arr[:-1]
     if nc > 1:
         d64 = d.astype(np.int64)
         if starts[-1] >= d.size:
@@ -293,7 +346,7 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
     # share stride m//512, so one axis-sort covers them all.
     stride = max(1, m // 512)
     if n_full:
-        samp = np.sort(u[: n_full * m].reshape(n_full, m)[:, ::stride], axis=1)
+        samp = np.sort(arr[: n_full * m].reshape(n_full, m)[:, ::stride], axis=1)
         ks = 1 + np.count_nonzero(samp[:, 1:] != samp[:, :-1], axis=1)
         dict_viable = ks <= (samp.shape[1] // 4)
     else:
@@ -310,25 +363,25 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
     for ci in range(nc):
         lo = ci * m
         cn = min(m, n - lo)
-        cu = u[lo : lo + cn]
-        uniq = None
+        cw_ = wu[lo : lo + cn]  # work (unsigned-lane) domain
+        uniq_w = None
         if cn == m:
             if dict_viable[ci]:
-                uniq = np.unique(cu)
-                distinct = int(uniq.size)
+                uniq_w = np.unique(cw_)
+                distinct = int(uniq_w.size)
             else:
                 distinct = cn
         elif cn > 1024:
-            sample = np.sort(cu[:: max(1, cn // 512)])
+            sample = np.sort(arr[lo : lo + cn : max(1, cn // 512)])
             k = 1 + int(np.count_nonzero(sample[1:] != sample[:-1]))
             if k > sample.size // 4:
                 distinct = cn
             else:
-                uniq = np.unique(cu)
-                distinct = int(uniq.size)
+                uniq_w = np.unique(cw_)
+                distinct = int(uniq_w.size)
         else:
-            uniq = np.unique(cu)
-            distinct = int(uniq.size)
+            uniq_w = np.unique(cw_)
+            distinct = int(uniq_w.size)
         lo_v, hi_v = int(cmin[ci]), int(cmax[ci])
         st = {
             "n": cn,
@@ -338,21 +391,25 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
             "distinct": distinct,
         }
         codec = choose_int_codec(st, itemsize)
-        if codec == "dict" and uniq is not None and cn % 8 == 0:
+        if codec == "dict" and uniq_w is not None and cn % 8 == 0:
             # dict body = header + FOR(uniq) + bitpack(codes, cw); the
-            # codes pack (the bulk) joins the width-batched pass
-            cw = _width(uniq.size - 1) if uniq.size > 1 else 0
-            uniq_body = _body_for(uniq)
+            # codes pack (the bulk) joins the width-batched pass. uniq
+            # widens back to the u64 reference domain for its FOR body —
+            # its unsigned-lane sort order equals the u64 order, so the
+            # widened array is the exact array the u64 path built.
+            uniq64 = _widen(uniq_w)
+            cw = _width(uniq64.size - 1) if uniq64.size > 1 else 0
+            uniq_body = _body_for(uniq64)
             body_len = 9 + len(uniq_body) + packed_nbytes(cn, cw)
             if body_len > cn * itemsize:
-                chunks[ci] = _HDR.pack(PLAIN, dcode, cn) + _body_plain(cu, dtype)
+                chunks[ci] = _HDR.pack(PLAIN, dcode, cn) + arr[lo : lo + cn].tobytes()
             else:
                 hdr = (
                     _HDR.pack(DICT, dcode, cn)
-                    + struct.pack("<IIB", uniq.size, len(uniq_body), cw)
+                    + struct.pack("<IIB", uniq64.size, len(uniq_body), cw)
                     + uniq_body
                 )
-                codes = np.searchsorted(uniq, cu).astype(np.uint64)
+                codes = np.searchsorted(uniq_w, cw_).astype(work_u)
                 batch.append((ci, cw, hdr, codes))
             continue
         if codec in ("for", "bitpack") and cn % 8 == 0:
@@ -360,20 +417,24 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
                 w = _width(hi_v)
                 body_len = 1 + packed_nbytes(cn, w)
                 hdr = _HDR.pack(BITPACK, dcode, cn) + struct.pack("<B", w)
-                vals = cu
+                vals = cw_
             else:
                 w = _width(hi_v - lo_v)
                 body_len = 9 + packed_nbytes(cn, w)
                 hdr = _HDR.pack(FOR_BITPACK, dcode, cn) + struct.pack(
                     "<qB", lo_v, w
                 )
-                vals = cu - np.int64(lo_v).view(np.uint64).astype(np.uint64)
+                # wrap-around subtraction in the lane dtype == the u64
+                # delta (every delta fits the lane width)
+                vals = cw_ - _base_w(lo_v)
             if body_len > cn * itemsize:  # the plain fallback, decided early
-                chunks[ci] = _HDR.pack(PLAIN, dcode, cn) + _body_plain(cu, dtype)
+                chunks[ci] = _HDR.pack(PLAIN, dcode, cn) + arr[lo : lo + cn].tobytes()
             else:
                 batch.append((ci, w, hdr, vals))
         else:
-            chunks[ci] = _encode_ints_u64(cu, dtype, codec, uniq)
+            cu64 = _to_u64(arr[lo : lo + cn])
+            uniq64 = _widen(uniq_w) if uniq_w is not None else None
+            chunks[ci] = _encode_ints_u64(cu64, dtype, codec, uniq64)
     if batch:
         by_w: dict[int, list[tuple[int, bytes, object]]] = {}
         for ci, w, hdr, vals in batch:
@@ -522,22 +583,23 @@ def encode_ints(
     dtype = arr.dtype
     if dtype not in _DTYPE_CODE:
         raise TypeError(f"unsupported int dtype {dtype}")
-    u = _to_u64(arr)
     if codec is None:
         if arr.size >= CHUNKED_MIN:
             codec = "chunked"
         else:
             codec = choose_int_codec(int_stats(arr), dtype.itemsize)
     if INT_CODEC_IDS[codec] == CHUNKED:
+        # the cascade reads the NATIVE array (narrow-lane stats/packing);
+        # no up-front u64 widening of the whole payload
         out = _HDR.pack(CHUNKED, _DTYPE_CODE[dtype], arr.size) + _body_chunked(
-            u, dtype
+            arr, dtype
         )
         if len(out) > _HDR.size + arr.size * dtype.itemsize:
-            return _HDR.pack(PLAIN, _DTYPE_CODE[dtype], arr.size) + _body_plain(
-                u, dtype
-            )
+            return _HDR.pack(
+                PLAIN, _DTYPE_CODE[dtype], arr.size
+            ) + np.ascontiguousarray(arr).tobytes()
         return out
-    return _encode_ints_u64(u, dtype, codec, _uniq)
+    return _encode_ints_u64(_to_u64(arr), dtype, codec, _uniq)
 
 
 def decode_ints(buf: bytes | memoryview) -> np.ndarray:
