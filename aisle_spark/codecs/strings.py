@@ -88,11 +88,13 @@ def _merge_pass(codes: np.ndarray, a: int, b: int, new_code: int) -> np.ndarray:
         new_run = np.concatenate(([True], np.diff(pos) > 1))
         run_start = pos[np.maximum.accumulate(np.where(new_run, np.arange(pos.size), 0))]
         pos = pos[(pos - run_start) % 2 == 0]
-    out = codes.copy()
-    out[pos] = new_code
     mask = np.ones(codes.size, dtype=bool)
     mask[pos + 1] = False
-    return out[mask]
+    out = codes[mask]
+    # each surviving match position shifts left by the deletions before
+    # it — exactly its rank, since matches don't overlap
+    out[pos - np.arange(pos.size)] = new_code
+    return out
 
 
 def _with_sentinels(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
@@ -119,13 +121,18 @@ def _train_fsst(lengths: np.ndarray, data: np.ndarray, max_merges: int,
         valid = (a != _BOUNDARY) & (b != _BOUNDARY)
         if not valid.any():
             break
-        pairs = a[valid].astype(np.int64) << 32 | b[valid]
-        uniq, counts = np.unique(pairs, return_counts=True)
+        # codes are 9-bit (256 raw + boundary + <=255 symbols), so a pair
+        # is an 18-bit int32 key — sort + boundary-count replaces the
+        # int64 np.unique (same winner: first-of-max == smallest key)
+        pairs = ((a << 9) | b)[valid]
+        pairs.sort()
+        bnd = np.concatenate(([0], np.flatnonzero(pairs[1:] != pairs[:-1]) + 1))
+        counts = np.diff(np.concatenate((bnd, [pairs.size])))
         top = int(counts.argmax())
         if counts[top] < min_count:
             break
-        best = int(uniq[top])
-        pa_, pb_ = best >> 32, best & 0xFFFFFFFF
+        best = int(pairs[bnd[top]])
+        pa_, pb_ = best >> 9, best & 0x1FF
         codes = _merge_pass(codes, pa_, pb_, next_code)
         merges.append((pa_, pb_))
         next_code += 1
