@@ -460,9 +460,12 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
 
 
 def _unbody_chunked(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    """Returns the NATIVE-dtype array directly (each chunk already
+    decodes to native; filling an int64 staging array and narrowing at
+    the end was two extra full passes over the payload)."""
     n_chunks, _m = struct.unpack_from("<II", buf, 0)
     lens = np.frombuffer(buf[8 : 8 + 4 * n_chunks], dtype=np.uint32)
-    out = np.empty(n, dtype=np.int64)
+    out = np.empty(n, dtype=dtype)
     off = 8 + 4 * n_chunks
     pos = 0
     for ln in lens:
@@ -470,7 +473,7 @@ def _unbody_chunked(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
         out[pos : pos + part.size] = part
         pos += part.size
         off += int(ln)
-    return out.view(np.uint64)
+    return out
 
 
 SAMPLE_CAP = 1 << 16
@@ -608,10 +611,12 @@ def decode_ints(buf: bytes | memoryview) -> np.ndarray:
     dtype = _DTYPES[dcode]
     body = buf[_HDR.size :]
     if cid == CHUNKED:
-        u = _unbody_chunked(body, n, dtype)
-    elif cid == PLAIN:
-        u = _unbody_plain(body, n, dtype)
-    elif cid == BITPACK:
+        return _unbody_chunked(body, n, dtype)  # already native dtype
+    if cid == PLAIN:
+        # raw little-endian values at the source width — a fresh native
+        # copy, skipping the widen-to-u64 / narrow-back round trip
+        return np.frombuffer(body, dtype=dtype, count=n).copy()
+    if cid == BITPACK:
         u = _unbody_bitpack(body, n)
     elif cid == FOR_BITPACK:
         u = _unbody_for(body, n)
