@@ -166,3 +166,42 @@ def test_object_store_commit_mode(spark, dirs):
     got = scan(blocks, schema).agg(F.count("*"), F.sum("n_tok")).collect()[0]
     exp = spark.read.parquet(src).agg(F.count("*"), F.sum("n_tok")).collect()[0]
     assert tuple(got) == tuple(exp)
+
+
+def test_task_layout_waves(spark, dirs, monkeypatch):
+    """Task grouping: inputs with at most waves*cores files collapse to
+    ONE wave of byte-balanced tasks (<= cores sidecars); larger inputs
+    keep the multi-wave layout (waves*cores tasks). Both layouts must
+    round-trip identically — grouping is scheduling only."""
+    src, out = dirs
+    cores = spark.sparkContext.defaultParallelism  # 4 in this suite
+    monkeypatch.setenv("AISLE_ENCODE_WAVES", "2")
+
+    # 6 files <= 2*4: one wave -> at most `cores` tasks/sidecars
+    for i in range(6):
+        _drop(src, f"f{i}.parquet", i * 100, 80)
+    encode_files_direct(spark, src, out, parts=4, sort_cols=["source", "n_tok"])
+    sidecars = glob.glob(os.path.join(out, "_done/*.json"))
+    assert len(sidecars) <= cores
+    covered = set()
+    for p in sidecars:
+        covered.update(json.load(open(p))["inputs"])
+    assert covered == {f"f{i}.parquet" for i in range(6)}
+    blocks, schema = read_encoded(spark, out)
+    got = scan(blocks, schema).agg(F.count("*"), F.sum("n_tok")).collect()[0]
+    ref = spark.read.parquet(src).agg(F.count("*"), F.sum("n_tok")).collect()[0]
+    assert tuple(got) == tuple(ref)
+
+    # 10 files > 2*4: multi-wave layout -> waves*cores tasks
+    src2 = os.path.join(BASE, "src2")
+    out2 = os.path.join(BASE, "enc2")
+    os.makedirs(src2)
+    for i in range(10):
+        _drop(src2, f"g{i}.parquet", i * 100, 50)
+    encode_files_direct(spark, src2, out2, parts=4, sort_cols=["source", "n_tok"])
+    sidecars2 = glob.glob(os.path.join(out2, "_done/*.json"))
+    assert len(sidecars2) == 2 * cores
+    blocks2, schema2 = read_encoded(spark, out2)
+    got2 = scan(blocks2, schema2).agg(F.count("*"), F.sum("n_tok")).collect()[0]
+    ref2 = spark.read.parquet(src2).agg(F.count("*"), F.sum("n_tok")).collect()[0]
+    assert tuple(got2) == tuple(ref2)
