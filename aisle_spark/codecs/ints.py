@@ -114,21 +114,30 @@ def bitpack_encode(u: np.ndarray, width: int) -> bytes:
     return out.tobytes()
 
 
-def bitpack_decode(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
+def bitpack_decode(
+    buf: bytes | memoryview, n: int, width: int, lane=np.uint64
+) -> np.ndarray:
+    """Unpack ``width``-bit values into ``lane``-dtype slots. The lane may
+    be any unsigned dtype wide enough for ``width`` (the chunked decode
+    uses uint32 lanes for <= 4-byte targets — half the memory traffic);
+    the decoded bit patterns are identical regardless of lane width."""
+    lane = np.dtype(lane)
+    if width > 8 * lane.itemsize:  # lane too narrow for this width
+        lane = np.dtype(np.uint64)
     if width == 0 or n == 0:
-        return np.zeros(n, dtype=np.uint64)
+        return np.zeros(n, dtype=lane)
     need = packed_nbytes(n, width)
     if len(buf) < need:
         raise ValueError(
             f"bitpack payload truncated: need {need} bytes, have {len(buf)}"
         )
     if width == 8 or width == 16 or width == 32 or width == 64:
-        return np.frombuffer(buf, dtype=f"<u{width // 8}", count=n).astype(np.uint64)
+        return np.frombuffer(buf, dtype=f"<u{width // 8}", count=n).astype(lane)
     m = (n + 7) // 8
     B = np.frombuffer(buf, dtype=np.uint8, count=m * width).reshape(m, width)
-    B = B.astype(np.uint64)
-    mask = np.uint64((1 << width) - 1)
-    out = np.empty((m, 8), dtype=np.uint64)
+    B = B.astype(lane)
+    mask = lane.type((1 << width) - 1)
+    out = np.empty((m, 8), dtype=lane)
     for p in range(8):
         lo = p * width
         jb0 = lo // 8
@@ -137,9 +146,9 @@ def bitpack_decode(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
         for j in range(jb0, jb1 + 1):
             bstart = 8 * j
             part = (
-                B[:, j] << np.uint64(bstart - lo)
+                B[:, j] << lane.type(bstart - lo)
                 if bstart >= lo
-                else B[:, j] >> np.uint64(lo - bstart)
+                else B[:, j] >> lane.type(lo - bstart)
             )
             acc = part if acc is None else acc | part
         out[:, p] = acc & mask
@@ -460,19 +469,88 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
 
 
 def _unbody_chunked(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
-    """Returns the NATIVE-dtype array directly (each chunk already
-    decodes to native; filling an int64 staging array and narrowing at
-    the end was two extra full passes over the payload)."""
+    """Returns the NATIVE-dtype array directly, with ONE ``bitpack_decode``
+    per distinct bit width instead of one per mini-chunk (the decode
+    profile's hotspot: ~n/4096 unpack calls whose per-call numpy overhead
+    on 512-group arrays dwarfed the bit math). 8-value pack groups align
+    with chunk boundaries for every 8-aligned chunk, so the concatenated
+    packed streams unpack to exactly the per-chunk values; unpacking runs
+    in uint32 lanes for <= 4-byte targets (dict codes always — a chunk's
+    code width is <= 12 bits), mirroring the encode-side lane argument:
+    the lane holds the value's two's-complement bit pattern, wrap-around
+    base addition reproduces the pattern of the original value, and the
+    native view of that pattern IS the value."""
     n_chunks, _m = struct.unpack_from("<II", buf, 0)
     lens = np.frombuffer(buf[8 : 8 + 4 * n_chunks], dtype=np.uint32)
     out = np.empty(n, dtype=dtype)
+    narrow = dtype.itemsize <= 4
+    val_lane = np.dtype(np.uint32) if narrow else np.dtype(np.uint64)
+    signed = dtype.kind == "i"
+    sview = np.int32 if narrow else np.int64
+    # (width, lane) -> list of (row_pos, cn, kind, extra, packed_bytes)
+    groups: dict[tuple[int, object], list] = {}
     off = 8 + 4 * n_chunks
     pos = 0
     for ln in lens:
-        part = decode_ints(buf[off : off + int(ln)])
-        out[pos : pos + part.size] = part
-        pos += part.size
+        seg = buf[off : off + int(ln)]
         off += int(ln)
+        cid, _dc, cn = _HDR.unpack_from(seg, 0)
+        body = seg[_HDR.size :]
+        if cid == PLAIN:
+            out[pos : pos + cn] = np.frombuffer(body, dtype=dtype, count=cn)
+        elif cn % 8:  # partial tail chunk: pack padding breaks concatenation
+            out[pos : pos + cn] = decode_ints(seg)
+        elif cid == BITPACK:
+            (w,) = struct.unpack_from("<B", body, 0)
+            if w > 8 * val_lane.itemsize:  # unreachable for a sound stream
+                out[pos : pos + cn] = decode_ints(seg)
+            else:
+                groups.setdefault((w, val_lane), []).append(
+                    (pos, cn, 0, 0, body[1 : 1 + packed_nbytes(cn, w)])
+                )
+        elif cid == FOR_BITPACK:
+            base, w = struct.unpack_from("<qB", body, 0)
+            if w > 8 * val_lane.itemsize:  # unreachable for a sound stream
+                out[pos : pos + cn] = decode_ints(seg)
+            else:
+                groups.setdefault((w, val_lane), []).append(
+                    (pos, cn, 1, base, body[9 : 9 + packed_nbytes(cn, w)])
+                )
+        elif cid == DICT:
+            k, ulen, cw = struct.unpack_from("<IIB", body, 0)
+            uniq = _from_u64(_unbody_for(body[9 : 9 + ulen], k), dtype)
+            groups.setdefault((cw, np.dtype(np.uint32)), []).append(
+                (
+                    pos,
+                    cn,
+                    2,
+                    uniq,
+                    body[9 + ulen : 9 + ulen + packed_nbytes(cn, cw)],
+                )
+            )
+        else:  # RLE (and any future codec): per-chunk native decode
+            out[pos : pos + cn] = decode_ints(seg)
+        pos += cn
+    lane_bits = {}
+    for (w, lane), items in groups.items():
+        if len(items) == 1:
+            joined: bytes | memoryview = items[0][4]
+            total = items[0][1]
+        else:
+            joined = b"".join(bytes(it[4]) for it in items)
+            total = sum(it[1] for it in items)
+        vals = bitpack_decode(joined, total, w, lane=lane)
+        mask = lane_bits.setdefault(lane, (1 << (8 * lane.itemsize)) - 1)
+        vpos = 0
+        for p0, cn, kind, extra, _pl in items:
+            v = vals[vpos : vpos + cn]
+            vpos += cn
+            if kind == 2:  # dict gather straight into the native domain
+                out[p0 : p0 + cn] = extra[v]
+                continue
+            if kind == 1:  # FOR: wrap-around base add in the lane domain
+                v = v + v.dtype.type(extra & mask)
+            out[p0 : p0 + cn] = v.view(sview) if signed else v
     return out
 
 

@@ -174,3 +174,37 @@ def test_chunked_boundary_sizes():
             out = decode_ints(buf)
             assert out.dtype == arr.dtype
             np.testing.assert_array_equal(out, arr)
+
+
+def test_chunked_decode_mixed_codecs_one_payload():
+    """The width-batched chunked decode: one payload whose mini-chunks
+    land on different codecs and different bit widths (bitpack, FOR,
+    dict, rle, plain, plus an 8-unaligned tail chunk) must reassemble
+    exactly, for every integer dtype. This drives the grouped
+    one-unpack-per-width path AND its per-chunk fallbacks in a single
+    decode call."""
+    from aisle_spark.codecs.ints import CHUNK_VALUES
+
+    rng = np.random.default_rng(11)
+    for dt in (
+        np.int8, np.int16, np.int32, np.int64,
+        np.uint8, np.uint16, np.uint32, np.uint64,
+    ):
+        d = np.dtype(dt)
+        info = np.iinfo(d)
+        m = CHUNK_VALUES
+        parts = [
+            rng.integers(0, 120, m).astype(d),                    # bitpack, w small
+            (info.min + rng.integers(0, 30, m)).astype(d),        # FOR near min
+            np.repeat(
+                rng.integers(info.min, info.max, 8, dtype=d, endpoint=True), m // 8
+            ),                                                    # dict/rle
+            np.full(m, info.max, dtype=d),                        # rle run
+            rng.integers(info.min, info.max, m, dtype=d, endpoint=True),  # plain-ish
+            rng.integers(0, 5, m // 2 + 3).astype(d),             # unaligned tail
+        ]
+        arr = np.concatenate(parts)
+        buf = encode_ints(arr)
+        out = decode_ints(buf)
+        assert out.dtype == d
+        np.testing.assert_array_equal(out, arr)
