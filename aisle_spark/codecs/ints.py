@@ -487,8 +487,9 @@ def _unbody_chunked(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
     val_lane = np.dtype(np.uint32) if narrow else np.dtype(np.uint64)
     signed = dtype.kind == "i"
     sview = np.int32 if narrow else np.int64
-    # (width, lane) -> list of (row_pos, cn, kind, extra, packed_bytes)
+    # (width, lane) -> list of (row_pos, n_vals, kind, extra, packed_bytes)
     groups: dict[tuple[int, object], list] = {}
+    dicts: list[list] = []  # deferred dict gathers: [pos, cn, uniq, codes]
     off = 8 + 4 * n_chunks
     pos = 0
     for ln in lens:
@@ -517,17 +518,33 @@ def _unbody_chunked(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
                     (pos, cn, 1, base, body[9 : 9 + packed_nbytes(cn, w)])
                 )
         elif cid == DICT:
+            # codes AND the uniq table's FOR deltas both join the
+            # width-batched unpack (uniq tables are tiny, so their
+            # per-table unpack was pure call overhead); the gather waits
+            # in `dicts` until both halves are decoded
             k, ulen, cw = struct.unpack_from("<IIB", body, 0)
-            uniq = _from_u64(_unbody_for(body[9 : 9 + ulen], k), dtype)
+            ubase, uw = struct.unpack_from("<qB", body, 9)
+            rec: list = [pos, cn, None, None]  # [-2]=uniq, [-1]=codes
+            if uw > 8 * val_lane.itemsize:  # unreachable for a sound stream
+                rec[2] = _from_u64(_unbody_for(body[9 : 9 + ulen], k), dtype)
+            else:
+                # a non-8-aligned table's pack pads to the 8-value group:
+                # the batch walks padded counts and slices the true k
+                upad = k if uw in (0, 8, 16, 32, 64) else ((k + 7) // 8) * 8
+                groups.setdefault((uw, val_lane), []).append(
+                    (None, upad, 3, (ubase, rec, k),
+                     body[18 : 18 + packed_nbytes(k, uw)])
+                )
             groups.setdefault((cw, np.dtype(np.uint32)), []).append(
                 (
-                    pos,
+                    None,
                     cn,
                     2,
-                    uniq,
+                    rec,
                     body[9 + ulen : 9 + ulen + packed_nbytes(cn, cw)],
                 )
             )
+            dicts.append(rec)
         else:  # RLE (and any future codec): per-chunk native decode
             out[pos : pos + cn] = decode_ints(seg)
         pos += cn
@@ -545,12 +562,23 @@ def _unbody_chunked(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
         for p0, cn, kind, extra, _pl in items:
             v = vals[vpos : vpos + cn]
             vpos += cn
-            if kind == 2:  # dict gather straight into the native domain
-                out[p0 : p0 + cn] = extra[v]
+            if kind == 2:  # dict codes: park for the deferred gather
+                extra[3] = v
+                continue
+            if kind == 3:  # dict uniq table: FOR base add, then native
+                ubase, rec, k = extra
+                u = v[:k] + v.dtype.type(ubase & mask)
+                rec[2] = (
+                    u.view(sview).astype(dtype, copy=False)
+                    if signed
+                    else u.astype(dtype, copy=False)
+                )
                 continue
             if kind == 1:  # FOR: wrap-around base add in the lane domain
                 v = v + v.dtype.type(extra & mask)
             out[p0 : p0 + cn] = v.view(sview) if signed else v
+    for p0, cn, uniq, codes in dicts:
+        out[p0 : p0 + cn] = uniq[codes]
     return out
 
 

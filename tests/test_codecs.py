@@ -199,6 +199,10 @@ def test_chunked_decode_mixed_codecs_one_payload():
             np.repeat(
                 rng.integers(info.min, info.max, 8, dtype=d, endpoint=True), m // 8
             ),                                                    # dict/rle
+            np.tile(
+                rng.integers(info.min, info.max, 7, dtype=d, endpoint=True),
+                m // 7 + 1,
+            )[:m],  # dict with a NON-8-aligned uniq table (pad-and-slice path)
             np.full(m, info.max, dtype=d),                        # rle run
             rng.integers(info.min, info.max, m, dtype=d, endpoint=True),  # plain-ish
             rng.integers(0, 5, m // 2 + 3).astype(d),             # unaligned tail
