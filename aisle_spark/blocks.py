@@ -504,14 +504,19 @@ def _expand(n: int, valid: np.ndarray | None, vals: np.ndarray, fill=0) -> np.nd
     return out
 
 
+def _np_buf(arr: np.ndarray):
+    # zero-copy Arrow buffer over the numpy array (py_buffer holds the
+    # reference); tobytes() here was one full memcpy of every decoded
+    # payload — pure memory traffic, the 8->32 scaling resource
+    return pa.py_buffer(np.ascontiguousarray(arr))
+
+
 def _primitive_array(t: pa.DataType, n: int, valid, vals: np.ndarray) -> pa.Array:
     storage = _expand(n, valid, vals)
     if pa.types.is_boolean(t):
-        data_buf = pa.py_buffer(
-            np.packbits(storage.astype(bool), bitorder="little").tobytes()
-        )
+        data_buf = _np_buf(np.packbits(storage.astype(bool), bitorder="little"))
     else:
-        data_buf = pa.py_buffer(storage.tobytes())
+        data_buf = _np_buf(storage)
     return pa.Array.from_buffers(t, n, [_validity_buf(n, valid), data_buf])
 
 
@@ -523,7 +528,7 @@ def _string_array(t: pa.DataType, n: int, valid, lengths, data) -> pa.Array:
     return pa.Array.from_buffers(
         t,
         n,
-        [_validity_buf(n, valid), pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+        [_validity_buf(n, valid), _np_buf(offsets), _np_buf(data)],
     )
 
 
@@ -534,7 +539,7 @@ def _list_array(t: pa.DataType, n: int, valid, list_lens, vals) -> pa.Array:
     offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(odt)
     child = _primitive_array(t.value_type, int(vals.size), None, vals)
     return pa.Array.from_buffers(
-        t, n, [_validity_buf(n, valid), pa.py_buffer(offsets.tobytes())], children=[child]
+        t, n, [_validity_buf(n, valid), _np_buf(offsets)], children=[child]
     )
 
 
