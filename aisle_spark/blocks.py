@@ -393,15 +393,24 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
             # exact (NaN payloads, signed zeros preserved)
             fvals = vals
             vals = vals.view(np.int32 if vals.dtype == np.float32 else np.int64)
-        vstats = int_stats(vals, exact_distinct=False)
         from aisle_spark.codecs.ints import CHUNKED_MIN
 
         if vals.size >= CHUNKED_MIN:
             vcodec = "chunked"  # per-mini-block cascade picks locally
-        elif vstats["n"]:
+            # the block elem stats need only min/max — read them from the
+            # NATIVE array (uint64 keeps its wrapped int64 stat view, the
+            # codec module's convention) instead of int_stats, whose u64
+            # widening copy + run/distinct passes the cascade recomputes
+            # per chunk anyway
+            sv = vals.view(np.int64) if vals.dtype == np.uint64 else vals
+            vmin, vmax = int(sv.min()), int(sv.max())
+        elif vals.size:
+            vstats = int_stats(vals, exact_distinct=False)
             vcodec = choose_int_codec(vstats, vals.dtype.itemsize)
+            vmin, vmax = vstats["min"], vstats["max"]
         else:
             vcodec = "plain"
+            vmin = vmax = None
         lens_body = encode_ints(list_lens)
         vals_body = encode_ints(vals, vcodec)
         body = struct.pack("<I", len(lens_body)) + lens_body + vals_body
@@ -410,8 +419,8 @@ def encode_column(spec: ColumnSpec, arr: pa.Array) -> dict:
             emn, emx = _float_min_max(fvals)
             out[f"{c}__elem_min"], out[f"{c}__elem_max"] = emn, emx
         else:
-            out[f"{c}__elem_min"] = vstats["min"]
-            out[f"{c}__elem_max"] = vstats["max"]
+            out[f"{c}__elem_min"] = vmin
+            out[f"{c}__elem_max"] = vmax
         out[f"{c}__len_min"] = int(list_lens.min()) if list_lens.size else None
         out[f"{c}__len_max"] = int(list_lens.max()) if list_lens.size else None
         raw = vals.nbytes + 8 * n

@@ -333,16 +333,18 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
     # per-chunk run count: changes strictly inside each chunk + 1
     d = arr[1:] != arr[:-1]
     if nc > 1:
-        d64 = d.astype(np.int64)
+        # bool -> uint8 view is free (numpy bools are 0/1 bytes); the
+        # int64 accumulator comes from reduceat's dtype, not a full cast
+        d64 = d.view(np.uint8)
         if starts[-1] >= d.size:
             # the last chunk holds a single value: its start index n-1
             # is past d (len n-1) — reduceat over the rest, append runs=1
-            runs = np.add.reduceat(d64, starts[:-1])
+            runs = np.add.reduceat(d64, starts[:-1], dtype=np.int64)
             runs[:-1] -= d[starts[1:-1] - 1]
             runs[-1] -= d[starts[-1] - 1]
             n_runs = np.concatenate((runs + 1, [1]))
         else:
-            runs = np.add.reduceat(d64, starts)
+            runs = np.add.reduceat(d64, starts, dtype=np.int64)
             # reduceat windows [start, next_start) include the cross-chunk
             # boundary change d[next_start-1] — exclude it (int_stats
             # counts changes within the chunk only)
@@ -369,14 +371,19 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
     # per-chunk packs) — collapses ~n/4096 small packs into a handful of
     # large ones, which is where the per-call numpy overhead was going
     batch: list[tuple[int, int, bytes, object]] = []  # (ci, width, hdr, vals)
+    dict_cands: list[tuple[int, int, int, np.ndarray]] = []  # (ci, lo, cn, uniq_w)
     for ci in range(nc):
         lo = ci * m
         cn = min(m, n - lo)
         cw_ = wu[lo : lo + cn]  # work (unsigned-lane) domain
-        uniq_w = None
+        # return_inverse gives the dict CODES for free-ish (one argsort
+        # inside unique vs a separate per-chunk searchsorted afterwards —
+        # measured 2x cheaper, identical codes: inverse indices ARE the
+        # searchsorted positions in the sorted distinct set)
+        uniq_w = inv_w = None
         if cn == m:
             if dict_viable[ci]:
-                uniq_w = np.unique(cw_)
+                uniq_w, inv_w = np.unique(cw_, return_inverse=True)
                 distinct = int(uniq_w.size)
             else:
                 distinct = cn
@@ -386,10 +393,10 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
             if k > sample.size // 4:
                 distinct = cn
             else:
-                uniq_w = np.unique(cw_)
+                uniq_w, inv_w = np.unique(cw_, return_inverse=True)
                 distinct = int(uniq_w.size)
         else:
-            uniq_w = np.unique(cw_)
+            uniq_w, inv_w = np.unique(cw_, return_inverse=True)
             distinct = int(uniq_w.size)
         lo_v, hi_v = int(cmin[ci]), int(cmax[ci])
         st = {
@@ -401,25 +408,14 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
         }
         codec = choose_int_codec(st, itemsize)
         if codec == "dict" and uniq_w is not None and cn % 8 == 0:
-            # dict body = header + FOR(uniq) + bitpack(codes, cw); the
-            # codes pack (the bulk) joins the width-batched pass. uniq
-            # widens back to the u64 reference domain for its FOR body —
-            # its unsigned-lane sort order equals the u64 order, so the
-            # widened array is the exact array the u64 path built.
-            uniq64 = _widen(uniq_w)
-            cw = _width(uniq64.size - 1) if uniq64.size > 1 else 0
-            uniq_body = _body_for(uniq64)
-            body_len = 9 + len(uniq_body) + packed_nbytes(cn, cw)
-            if body_len > cn * itemsize:
-                chunks[ci] = _HDR.pack(PLAIN, dcode, cn) + arr[lo : lo + cn].tobytes()
-            else:
-                hdr = (
-                    _HDR.pack(DICT, dcode, cn)
-                    + struct.pack("<IIB", uniq64.size, len(uniq_body), cw)
-                    + uniq_body
-                )
-                codes = np.searchsorted(uniq_w, cw_).astype(work_u)
-                batch.append((ci, cw, hdr, codes))
+            # dict body = header + FOR(uniq) + bitpack(codes, cw); both
+            # halves batch: the codes pack joins the width-batched pass
+            # below, and the uniq table's FOR body is DEFERRED so all
+            # tables share one widen + one reduceat stats pass + one
+            # bitpack_encode per distinct uniq width (a per-table
+            # _body_for was ~2400 small numpy calls per block — the same
+            # call-overhead disease the chunk packs had)
+            dict_cands.append((ci, lo, cn, uniq_w, inv_w.astype(work_u)))
             continue
         if codec in ("for", "bitpack") and cn % 8 == 0:
             if codec == "bitpack":  # choose proposes it only when min >= 0
@@ -444,6 +440,79 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
             cu64 = _to_u64(arr[lo : lo + cn])
             uniq64 = _widen(uniq_w) if uniq_w is not None else None
             chunks[ci] = _encode_ints_u64(cu64, dtype, codec, uniq64)
+    if dict_cands:
+        # one widen + one reduceat pass over ALL uniq tables, then one
+        # bitpack_encode per distinct uniq width. Byte-equivalence with
+        # the per-table _body_for: reduceat min over the int64 view IS
+        # s.min(); wrap-around subtraction of the repeated base gives the
+        # same u64 deltas; each table padded to the 8-value group (for
+        # non-byte-aligned widths) packs to exactly the bytes its own
+        # bitpack_encode — which pads its final partial group with the
+        # same zeros — would emit, so the concatenated pack slices into
+        # byte-identical per-table bodies.
+        ks = np.fromiter(
+            (t[3].size for t in dict_cands),
+            dtype=np.int64,
+            count=len(dict_cands),
+        )
+        U64 = _widen(
+            np.concatenate([t[3] for t in dict_cands])
+            if len(dict_cands) > 1
+            else dict_cands[0][3]
+        )
+        tstarts = np.concatenate(([0], np.cumsum(ks[:-1])))
+        bases = np.minimum.reduceat(U64.view(np.int64), tstarts)
+        deltas = U64 - np.repeat(bases.view(np.uint64), ks)
+        dmax = np.maximum.reduceat(deltas, tstarts)
+        by_uw: dict[int, list[int]] = {}
+        meta: list[tuple[int, int, int, int] | None] = [None] * len(dict_cands)
+        for i, (ci, lo, cn, uniq_w, inv_w) in enumerate(dict_cands):
+            k = int(ks[i])
+            uw = _width(int(dmax[i]))
+            cw = _width(k - 1) if k > 1 else 0
+            nb = packed_nbytes(k, uw)
+            body_len = 9 + (9 + nb) + packed_nbytes(cn, cw)
+            if body_len > cn * itemsize:
+                chunks[ci] = (
+                    _HDR.pack(PLAIN, dcode, cn) + arr[lo : lo + cn].tobytes()
+                )
+            else:
+                meta[i] = (uw, cw, nb, 9 + nb)
+                by_uw.setdefault(uw, []).append(i)
+        packed_uniq: dict[int, bytes] = {}
+        offs = np.zeros(len(dict_cands), dtype=np.int64)
+        for w, idxs in by_uw.items():
+            if w == 0:
+                packed_uniq[w] = b""
+                continue
+            aligned = w in (8, 16, 32, 64)
+            pks = [int(ks[i]) if aligned else ((int(ks[i]) + 7) // 8) * 8 for i in idxs]
+            buf = np.zeros(sum(pks), dtype=deltas.dtype)
+            pos = 0
+            off = 0
+            for i, pk in zip(idxs, pks):
+                buf[pos : pos + int(ks[i])] = deltas[
+                    tstarts[i] : tstarts[i] + ks[i]
+                ]
+                pos += pk
+                offs[i] = off
+                off += meta[i][2]
+            packed_uniq[w] = bitpack_encode(buf, w)
+        for i, (ci, lo, cn, uniq_w, inv_w) in enumerate(dict_cands):
+            if meta[i] is None:
+                continue
+            uw, cw, nb, ulen = meta[i]
+            uniq_body = (
+                struct.pack("<qB", int(bases[i]), uw)
+                + packed_uniq[uw][int(offs[i]) : int(offs[i]) + nb]
+            )
+            hdr = (
+                _HDR.pack(DICT, dcode, cn)
+                + struct.pack("<IIB", int(ks[i]), ulen, cw)
+                + uniq_body
+            )
+            codes = inv_w  # unique's inverse == searchsorted positions
+            batch.append((ci, cw, hdr, codes))
     if batch:
         by_w: dict[int, list[tuple[int, bytes, object]]] = {}
         for ci, w, hdr, vals in batch:

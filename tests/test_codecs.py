@@ -212,3 +212,65 @@ def test_chunked_decode_mixed_codecs_one_payload():
         out = decode_ints(buf)
         assert out.dtype == d
         np.testing.assert_array_equal(out, arr)
+
+
+def test_chunked_encode_batched_uniq_bodies():
+    """Encode-side width-batched dict uniq tables: every DICT mini-chunk's
+    FOR(uniq) body in the chunked payload must be byte-identical to the
+    per-table ``_body_for`` composition (the batch pads each table to the
+    8-value pack group with the same zeros ``bitpack_encode`` pads its
+    final partial group with, so slices must match exactly)."""
+    import struct
+
+    from aisle_spark.codecs.ints import (
+        _HDR,
+        _body_for,
+        _to_u64,
+        _unbody_for,
+        CHUNK_VALUES,
+        DICT,
+    )
+
+    rng = np.random.default_rng(23)
+    m = CHUNK_VALUES
+    for dt in (np.int32, np.int64, np.uint16, np.uint64):
+        d = np.dtype(dt)
+        info = np.iinfo(d)
+        parts = []
+        # dict chunks with deliberately different uniq delta widths:
+        # tiny deltas, byte-aligned widths, near-max spans, negative
+        # bases (signed), and non-8-aligned uniq sizes
+        for k, span in ((8, 7), (16, 255), (9, 1 << 14), (40, 1 << 9), (4, 7)):
+            lo = int(info.min) if d.kind == "i" else 0
+            vals = (lo + rng.choice(span + 1, size=k, replace=False)).astype(d)
+            parts.append(rng.choice(vals, size=m))
+        big = np.array(
+            [info.min, info.max, 0, 1] if d.kind == "i" else [0, info.max, 1, 2],
+            dtype=d,
+        )
+        parts.append(rng.choice(big, size=m))  # max-span uniq deltas
+        arr = np.concatenate(parts)
+        buf = memoryview(encode_ints(arr))
+        cid, _dc, n = _HDR.unpack_from(buf, 0)
+        assert cid == 5  # CHUNKED
+        body = buf[_HDR.size :]
+        n_chunks, _ = struct.unpack_from("<II", body, 0)
+        lens = np.frombuffer(body[8 : 8 + 4 * n_chunks], dtype=np.uint32)
+        off = 8 + 4 * n_chunks
+        n_dict = 0
+        widths = set()
+        for ln in lens:
+            seg = body[off : off + int(ln)]
+            off += int(ln)
+            ccid, _cdc, cn = _HDR.unpack_from(seg, 0)
+            if ccid != DICT:
+                continue
+            n_dict += 1
+            cbody = seg[_HDR.size :]
+            k, ulen, cw = struct.unpack_from("<IIB", cbody, 0)
+            uniq_body = bytes(cbody[9 : 9 + ulen])
+            uniq64 = _unbody_for(cbody[9 : 9 + ulen], k)
+            widths.add(struct.unpack_from("<qB", cbody, 9)[1])
+            assert _body_for(uniq64) == uniq_body
+        assert n_dict >= 4  # the batch really ran across several tables
+        assert len(widths) >= 3  # ...and across several distinct widths
