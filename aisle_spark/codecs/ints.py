@@ -381,8 +381,27 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
         # measured 2x cheaper, identical codes: inverse indices ARE the
         # searchsorted positions in the sorted distinct set)
         uniq_w = inv_w = None
+        lo_v, hi_v = int(cmin[ci]), int(cmax[ci])
+        # optimistic dict pre-screen: the sampled cardinality is a LOWER
+        # bound on true k, est["dict"] is monotone in k, and no other
+        # codec's estimate reads distinct — so if dict loses the chooser
+        # even at k_lb it provably loses at true k, and the exact unique
+        # (the cascade's main remaining cost on sorted data, where most
+        # dict-viable chunks end up bitpack/FOR) is skipped without
+        # changing a single byte
+
+        def _dict_could_win(k_lb: int) -> bool:
+            st_lb = {
+                "n": cn,
+                "min": lo_v,
+                "max": hi_v,
+                "n_runs": int(n_runs[ci]),
+                "distinct": k_lb,
+            }
+            return choose_int_codec(st_lb, itemsize) == "dict"
+
         if cn == m:
-            if dict_viable[ci]:
+            if dict_viable[ci] and _dict_could_win(int(ks[ci])):
                 uniq_w, inv_w = np.unique(cw_, return_inverse=True)
                 distinct = int(uniq_w.size)
             else:
@@ -390,7 +409,7 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
         elif cn > 1024:
             sample = np.sort(arr[lo : lo + cn : max(1, cn // 512)])
             k = 1 + int(np.count_nonzero(sample[1:] != sample[:-1]))
-            if k > sample.size // 4:
+            if k > sample.size // 4 or not _dict_could_win(k):
                 distinct = cn
             else:
                 uniq_w, inv_w = np.unique(cw_, return_inverse=True)
@@ -398,7 +417,6 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
         else:
             uniq_w, inv_w = np.unique(cw_, return_inverse=True)
             distinct = int(uniq_w.size)
-        lo_v, hi_v = int(cmin[ci]), int(cmax[ci])
         st = {
             "n": cn,
             "min": lo_v,
@@ -450,7 +468,7 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
         # bitpack_encode — which pads its final partial group with the
         # same zeros — would emit, so the concatenated pack slices into
         # byte-identical per-table bodies.
-        ks = np.fromiter(
+        tks = np.fromiter(
             (t[3].size for t in dict_cands),
             dtype=np.int64,
             count=len(dict_cands),
@@ -460,14 +478,14 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
             if len(dict_cands) > 1
             else dict_cands[0][3]
         )
-        tstarts = np.concatenate(([0], np.cumsum(ks[:-1])))
+        tstarts = np.concatenate(([0], np.cumsum(tks[:-1])))
         bases = np.minimum.reduceat(U64.view(np.int64), tstarts)
-        deltas = U64 - np.repeat(bases.view(np.uint64), ks)
+        deltas = U64 - np.repeat(bases.view(np.uint64), tks)
         dmax = np.maximum.reduceat(deltas, tstarts)
         by_uw: dict[int, list[int]] = {}
         meta: list[tuple[int, int, int, int] | None] = [None] * len(dict_cands)
         for i, (ci, lo, cn, uniq_w, inv_w) in enumerate(dict_cands):
-            k = int(ks[i])
+            k = int(tks[i])
             uw = _width(int(dmax[i]))
             cw = _width(k - 1) if k > 1 else 0
             nb = packed_nbytes(k, uw)
@@ -486,13 +504,13 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
                 packed_uniq[w] = b""
                 continue
             aligned = w in (8, 16, 32, 64)
-            pks = [int(ks[i]) if aligned else ((int(ks[i]) + 7) // 8) * 8 for i in idxs]
+            pks = [int(tks[i]) if aligned else ((int(tks[i]) + 7) // 8) * 8 for i in idxs]
             buf = np.zeros(sum(pks), dtype=deltas.dtype)
             pos = 0
             off = 0
             for i, pk in zip(idxs, pks):
-                buf[pos : pos + int(ks[i])] = deltas[
-                    tstarts[i] : tstarts[i] + ks[i]
+                buf[pos : pos + int(tks[i])] = deltas[
+                    tstarts[i] : tstarts[i] + tks[i]
                 ]
                 pos += pk
                 offs[i] = off
@@ -508,7 +526,7 @@ def _body_chunked(u: np.ndarray, dtype: np.dtype) -> bytes:
             )
             hdr = (
                 _HDR.pack(DICT, dcode, cn)
-                + struct.pack("<IIB", int(ks[i]), ulen, cw)
+                + struct.pack("<IIB", int(tks[i]), ulen, cw)
                 + uniq_body
             )
             codes = inv_w  # unique's inverse == searchsorted positions
