@@ -109,8 +109,12 @@ def _with_sentinels(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
 
 
 def _train_fsst(lengths: np.ndarray, data: np.ndarray, max_merges: int,
-                min_count: int = 4) -> list[tuple[int, int]]:
-    """Learn ordered merge rules on the (sampled) corpus."""
+                min_count: int = 4) -> tuple[list[tuple[int, int]], np.ndarray]:
+    """Learn ordered merge rules on the (sampled) corpus. Also returns
+    the sample's fully-merged code array: merges never cross the
+    BOUNDARY sentinels, so when the sample is a string-aligned PREFIX of
+    the corpus this array IS the replay result for that prefix and the
+    encoder only replays the suffix."""
     codes = _with_sentinels(lengths, data)
     merges: list[tuple[int, int]] = []
     next_code = _BOUNDARY + 1
@@ -136,7 +140,7 @@ def _train_fsst(lengths: np.ndarray, data: np.ndarray, max_merges: int,
         codes = _merge_pass(codes, pa_, pb_, next_code)
         merges.append((pa_, pb_))
         next_code += 1
-    return merges
+    return merges, codes
 
 
 def _expansions(merges: list[tuple[int, int]]) -> list[bytes]:
@@ -155,19 +159,30 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray, sample_cap: int = 1 << 14
     # hotspot at 64 KB with no measurable ratio gain
     n = int(lengths.size)
     lengths = lengths.astype(np.int64, copy=False)
+    # clamp BEFORE training (greedy merges are prefix-stable, so this
+    # equals the old train-then-truncate): the prefix-reuse below needs
+    # trainer codes and replay to apply the SAME merge list
+    max_merges = min(max_merges, _MAX_SYMBOLS)
     # --- train on a prefix sample ---
     if data.size > sample_cap:
         k = min(int(np.searchsorted(np.cumsum(lengths), sample_cap)) + 1, n)
-        merges = _train_fsst(lengths[:k], data[: int(lengths[:k].sum())], max_merges)
+        pre = int(lengths[:k].sum())
+        merges, pre_codes = _train_fsst(lengths[:k], data[:pre], max_merges)
     else:
-        merges = _train_fsst(lengths, data, max_merges)
-    merges = merges[:_MAX_SYMBOLS]
+        k, pre = n, int(data.size)
+        merges, pre_codes = _train_fsst(lengths, data, max_merges)
     exp = _expansions(merges)
 
-    # --- encode full corpus by replaying merges ---
-    codes = _with_sentinels(lengths, data)
-    for i, (a, b) in enumerate(merges):
-        codes = _merge_pass(codes, a, b, _BOUNDARY + 1 + i)
+    # --- encode full corpus: the trainer already holds the fully-merged
+    # prefix (merges never cross BOUNDARY sentinels, and the sample is a
+    # string-aligned prefix of the corpus), so only the SUFFIX replays ---
+    if k < n:
+        codes = _with_sentinels(lengths[k:], data[pre:])
+        for i, (a, b) in enumerate(merges):
+            codes = _merge_pass(codes, a, b, _BOUNDARY + 1 + i)
+        codes = np.concatenate((pre_codes, codes))
+    else:
+        codes = pre_codes
 
     sent = codes == _BOUNDARY
     sent_pos = np.flatnonzero(sent)

