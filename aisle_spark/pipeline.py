@@ -141,34 +141,16 @@ def _order_and_slice(
     first_intlist = next((s.name for s in specs if s.kind == "intlist"), None)
     weight = np.zeros(n, dtype=np.int64)
     flat0 = lens0 = None
-    gatherable: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for c in list_cols:
         col = tbl.column(c).combine_chunks()
         lens = col.value_lengths().to_numpy(zero_copy_only=False)
         lens = np.nan_to_num(lens, nan=0).astype(np.int64)
         weight += lens
-        vals_arr = col.flatten()
         if c == first_intlist:
             # share the flatten/lengths with the width-clustering pass —
             # both scan the same token payload
-            flat0 = vals_arr.to_numpy(zero_copy_only=False)
+            flat0 = col.flatten().to_numpy(zero_copy_only=False)
             lens0 = lens
-        # null-free primitive list columns qualify for the offsets-only
-        # numpy gather below (guide §4.2: re-slice the contiguous value
-        # buffer by recomputing offsets instead of pyarrow's generic
-        # list take — measured ~40% cheaper on the token payload, which
-        # is the entire cost of the gather)
-        if (
-            col.null_count == 0
-            and vals_arr.null_count == 0
-            and pa.types.is_primitive(vals_arr.type)
-        ):
-            gatherable[c] = (
-                lens,
-                flat0
-                if c == first_intlist
-                else vals_arr.to_numpy(zero_copy_only=False),
-            )
     width = row_token_widths(specs, tbl, _flat=flat0, _lens=lens0)  # ORIGINAL order
     cum = np.cumsum(weight[idx])
     bounds = [0]
@@ -187,49 +169,8 @@ def _order_and_slice(
             parts.append(seg[np.argsort(width[seg], kind="stable")])
         idx = np.concatenate(parts)
     if not np.array_equal(idx, np.arange(n, dtype=np.int64)):
-        pidx = pa.array(idx)
-        cols_out = []
-        for c in tbl.column_names:
-            typ = tbl.schema.field(c).type
-            if c in gatherable:
-                arr = _gather_list(typ, idx, *gatherable[c])
-                if arr is not None:
-                    cols_out.append(arr)
-                    continue
-            cols_out.append(tbl.column(c).take(pidx))
-        tbl = pa.Table.from_arrays(cols_out, schema=tbl.schema)
+        tbl = tbl.take(pa.array(idx))
     return [tbl.slice(a, b - a) for a, b in zip(bounds[:-1], bounds[1:])]
-
-
-def _gather_list(typ, idx, lens, flat):
-    """Permute a null-free primitive list column by recomputing offsets
-    over the flat value buffer (one np.repeat + one gather) instead of
-    pyarrow's generic list take. Returns None when the result would
-    overflow 32-bit offsets for a non-large list type (caller falls back
-    to take)."""
-    import numpy as np
-
-    large = pa.types.is_large_list(typ)
-    if pa.types.is_boolean(typ.value_type):  # bit-packed: numpy view differs
-        return None
-    l2 = lens[idx]
-    new_offs = np.concatenate(([0], np.cumsum(l2)))
-    total = int(new_offs[-1])
-    if not large and total > (1 << 31) - 1:
-        return None
-    offs_src = np.concatenate(([0], np.cumsum(lens)))
-    starts = offs_src[idx]
-    gi = np.repeat(starts - new_offs[:-1], l2) + np.arange(
-        total, dtype=np.int64
-    )
-    vals = flat[gi]
-    offs = new_offs.astype(np.int64 if large else np.int32, copy=False)
-    child = pa.Array.from_buffers(
-        typ.value_type, total, [None, pa.py_buffer(vals)]
-    )
-    return pa.Array.from_buffers(
-        typ, int(idx.size), [None, pa.py_buffer(offs)], children=[child]
-    )
 
 
 def encode_table(

@@ -321,49 +321,3 @@ def test_scan_prune_options_toggle(spark):
     assert on == off and on
     assert kept_on <= kept_off
     blocks.unpersist()
-
-
-def test_order_and_slice_gather_matches_take():
-    """The offsets-only numpy gather for null-free primitive list columns
-    must produce blocks identical to pyarrow's generic take — including
-    schema (list field names) — and must FALL BACK to take when the list
-    column carries row- or value-level nulls."""
-    import numpy as np
-    import pyarrow as pa
-
-    import aisle_spark.pipeline as pl
-    from aisle_spark.schema import specs_for_schema
-
-    rng = np.random.default_rng(5)
-    n = 3000
-    toks = [rng.integers(0, 1 << 20, rng.integers(1, 60)).astype(np.int32) for _ in range(n)]
-    clean = pa.table(
-        {
-            "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
-            "tokens": pa.array([t.tolist() for t in toks], type=pa.list_(pa.int32())),
-            "n_tok": pa.array([t.size for t in toks], type=pa.int32()),
-            "source": pa.array(rng.choice(["a", "b", "c"], n)),
-        }
-    )
-    nullish = clean.set_column(
-        1,
-        "tokens",
-        pa.array(
-            [None if i % 17 == 0 else ([None, 1] if i % 13 == 0 else toks[i].tolist()) for i in range(n)],
-            type=pa.list_(pa.int32()),
-        ),
-    )
-    sk = [("source", "ascending"), ("n_tok", "descending")]
-    orig = pl._gather_list
-    for tbl in (clean, nullish):
-        specs = specs_for_schema(tbl.schema)
-        got = pl._order_and_slice(tbl, specs, sk, 512, 8000)
-        try:
-            pl._gather_list = lambda *a, **k: None  # force the take path
-            ref = pl._order_and_slice(tbl, specs, sk, 512, 8000)
-        finally:
-            pl._gather_list = orig
-        assert len(got) == len(ref) and len(got) > 1
-        for a, b in zip(got, ref):
-            assert a.schema.equals(b.schema)
-            assert a.equals(b)
